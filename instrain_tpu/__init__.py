@@ -1,0 +1,23 @@
+"""
+instrain_tpu — a TPU-native strain-profiling framework.
+
+Computes strain-level metrics from metagenomic read mappings: given a sorted
+BAM mapped to a FASTA of scaffolds it produces per-scaffold / gene / genome
+pileup base counts, coverage/breadth, clonality (nucleotide diversity),
+SNV/SNS calls against a sequencing-error null model, SNV linkage
+disequilibrium, gene-level dN/dS & pN/pS, genome-wide aggregation (incl.
+iRep), and profile-vs-profile comparison (conANI/popANI, strain clustering,
+SNV pooling).
+
+Feature-level reference: MrOlm/inStrain v1.9.1 (see SURVEY.md). The
+architecture here is designed TPU-first: a native C++ BAM decoder emits
+packed read tensors, pileups and site statistics run as JAX/XLA/Pallas
+kernels over position-major count arrays, and scaffolds shard across a
+`jax.sharding.Mesh` for multi-chip execution.
+"""
+
+__version__ = "0.1.0"
+
+# Version of the reference whose capabilities / output schema we match
+# (inStrain/_version.py in the reference tree).
+__capability_version__ = "1.9.1"

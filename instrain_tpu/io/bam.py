@@ -1,0 +1,206 @@
+"""
+ctypes bindings for the native BAM decoder (native/bam.cc, baq.cc).
+
+Decodes a whole sorted BAM into flat numpy arrays:
+  - a per-record table with the fields the reference extracts via pysam for
+    read filtering (NM, mapq, inferred length, ref start/end; reference:
+    inStrain/filter_reads.py:885-955)
+  - a per-aligned-base event stream (ref position, base code, quality) for
+    the pileup kernels (replacing pysam.pileup, profile_utilities.py:150-153)
+
+Quality post-processing (BAQ + mate-overlap tweak) mirrors the reference's
+pileup parameters compute_baq=True, ignore_overlaps=True; pass
+`baq=False` / `tweak_overlaps=False` to disable.
+"""
+
+from __future__ import annotations
+
+import ctypes as ct
+import os
+import subprocess
+from dataclasses import dataclass
+from typing import Dict, List, Optional
+
+import numpy as np
+
+_LIB_PATH = os.path.join(os.path.dirname(__file__), "libinstrain_io.so")
+_NATIVE_DIR = os.path.join(os.path.dirname(__file__), "..", "..", "native")
+_lib = None
+
+
+def _load_lib():
+    global _lib
+    if _lib is not None:
+        return _lib
+    if not os.path.exists(_LIB_PATH):
+        subprocess.run(["make"], cwd=os.path.abspath(_NATIVE_DIR), check=True,
+                       capture_output=True)
+    lib = ct.CDLL(_LIB_PATH)
+    lib.bd_open.restype = ct.c_void_p
+    lib.bd_open.argtypes = [ct.c_char_p, ct.c_int]
+    lib.bd_error.restype = ct.c_char_p
+    lib.bd_free.argtypes = [ct.c_void_p]
+    lib.bd_ref_name.restype = ct.c_char_p
+    lib.bd_ref_name.argtypes = [ct.c_void_p, ct.c_int64]
+    lib.bd_qname_blob.restype = ct.c_void_p
+    lib.bd_qname_blob.argtypes = [ct.c_void_p]
+    for name in ["bd_n_refs", "bd_n_records", "bd_n_events",
+                 "bd_n_qnames", "bd_qname_blob_len"]:
+        getattr(lib, name).restype = ct.c_int64
+        getattr(lib, name).argtypes = [ct.c_void_p]
+    lib.bd_ref_len.restype = ct.c_int64
+    lib.bd_ref_len.argtypes = [ct.c_void_p, ct.c_int64]
+    ptr_funcs = {
+        "bd_rec_ref_id": ct.c_int32, "bd_rec_pos": ct.c_int32,
+        "bd_rec_flag": ct.c_uint16, "bd_rec_mapq": ct.c_uint8,
+        "bd_rec_nm": ct.c_int32, "bd_rec_qname_id": ct.c_int64,
+        "bd_rec_qlen_infer": ct.c_int32, "bd_rec_ref_start": ct.c_int32,
+        "bd_rec_ref_end": ct.c_int32, "bd_rec_ev_off": ct.c_int64,
+        "bd_rec_ev_len": ct.c_int32, "bd_rec_pileup_ok": ct.c_uint8,
+        "bd_ev_pos": ct.c_int32, "bd_ev_base": ct.c_uint8,
+        "bd_ev_qual": ct.c_uint8, "bd_qname_off": ct.c_int64,
+    }
+    for name, typ in ptr_funcs.items():
+        fn = getattr(lib, name)
+        fn.restype = ct.POINTER(typ)
+        fn.argtypes = [ct.c_void_p]
+    lib.bd_apply_baq.argtypes = [ct.c_void_p, ct.c_int32,
+                                 ct.POINTER(ct.c_uint8), ct.c_int64]
+    lib.bd_tweak_overlaps.argtypes = [ct.c_void_p]
+    lib.bd_baq_one.restype = ct.c_int
+    lib.bd_baq_one.argtypes = [
+        ct.POINTER(ct.c_uint8), ct.c_int64, ct.c_int64,
+        ct.POINTER(ct.c_uint32), ct.c_int,
+        ct.POINTER(ct.c_uint8), ct.POINTER(ct.c_uint8), ct.c_int,
+        ct.POINTER(ct.c_uint8)]
+    _lib = lib
+    return lib
+
+
+def _arr(ptr, n, dtype):
+    if n == 0:
+        return np.empty(0, dtype=dtype)
+    return np.ctypeslib.as_array(ptr, shape=(n,)).astype(dtype, copy=True)
+
+
+@dataclass
+class BamArrays:
+    """Decoded BAM as flat numpy arrays (copies; native handle freed)."""
+
+    ref_names: List[str]
+    ref_lens: np.ndarray          # int64 [n_refs]
+    # record table
+    ref_id: np.ndarray            # int32
+    pos: np.ndarray               # int32
+    flag: np.ndarray              # uint16
+    mapq: np.ndarray              # uint8
+    nm: np.ndarray                # int32
+    qname_id: np.ndarray          # int64
+    qlen_infer: np.ndarray        # int32
+    ref_start: np.ndarray         # int32
+    ref_end: np.ndarray           # int32
+    ev_off: np.ndarray            # int64
+    ev_len: np.ndarray            # int32
+    pileup_ok: np.ndarray         # uint8 (bool)
+    # events
+    ev_pos: np.ndarray            # int32
+    ev_base: np.ndarray           # uint8
+    ev_qual: np.ndarray           # uint8
+    # qnames
+    qnames: Optional[List[str]] = None
+
+    @property
+    def n_records(self) -> int:
+        return len(self.ref_id)
+
+    @property
+    def name_to_ref_id(self) -> Dict[str, int]:
+        return {n: i for i, n in enumerate(self.ref_names)}
+
+    def records_of_ref(self, rid: int) -> np.ndarray:
+        """Indices of records on reference rid, preserving file order."""
+        return np.nonzero(self.ref_id == rid)[0]
+
+
+def decode_bam(path: str, ref_seqs: Optional[Dict[str, np.ndarray]] = None,
+               threads: int = 6, baq: bool = True,
+               tweak_overlaps: bool = True,
+               load_qnames: bool = True) -> BamArrays:
+    """
+    Decode a BAM file.
+
+    ref_seqs: {ref_name: uint8 ASCII array} — required for BAQ (uppercased
+    reference sequences, e.g. from io.fasta.read_fasta).
+    """
+    lib = _load_lib()
+    h = lib.bd_open(path.encode(), threads)
+    if not h:
+        raise IOError(f"BAM decode failed: {lib.bd_error().decode()}")
+    try:
+        n_refs = lib.bd_n_refs(h)
+        ref_names = [lib.bd_ref_name(h, i).decode() for i in range(n_refs)]
+        ref_lens = np.array([lib.bd_ref_len(h, i) for i in range(n_refs)],
+                            dtype=np.int64)
+
+        if baq:
+            if ref_seqs is None:
+                raise ValueError("BAQ requires ref_seqs")
+            for i, name in enumerate(ref_names):
+                if name not in ref_seqs:
+                    continue
+                seq = np.ascontiguousarray(ref_seqs[name], dtype=np.uint8)
+                lib.bd_apply_baq(h, i,
+                                 seq.ctypes.data_as(ct.POINTER(ct.c_uint8)),
+                                 len(seq))
+        if tweak_overlaps:
+            lib.bd_tweak_overlaps(h)
+
+        n = lib.bd_n_records(h)
+        ne = lib.bd_n_events(h)
+        out = BamArrays(
+            ref_names=ref_names,
+            ref_lens=ref_lens,
+            ref_id=_arr(lib.bd_rec_ref_id(h), n, np.int32),
+            pos=_arr(lib.bd_rec_pos(h), n, np.int32),
+            flag=_arr(lib.bd_rec_flag(h), n, np.uint16),
+            mapq=_arr(lib.bd_rec_mapq(h), n, np.uint8),
+            nm=_arr(lib.bd_rec_nm(h), n, np.int32),
+            qname_id=_arr(lib.bd_rec_qname_id(h), n, np.int64),
+            qlen_infer=_arr(lib.bd_rec_qlen_infer(h), n, np.int32),
+            ref_start=_arr(lib.bd_rec_ref_start(h), n, np.int32),
+            ref_end=_arr(lib.bd_rec_ref_end(h), n, np.int32),
+            ev_off=_arr(lib.bd_rec_ev_off(h), n, np.int64),
+            ev_len=_arr(lib.bd_rec_ev_len(h), n, np.int32),
+            pileup_ok=_arr(lib.bd_rec_pileup_ok(h), n, np.uint8),
+            ev_pos=_arr(lib.bd_ev_pos(h), ne, np.int32),
+            ev_base=_arr(lib.bd_ev_base(h), ne, np.uint8),
+            ev_qual=_arr(lib.bd_ev_qual(h), ne, np.uint8),
+        )
+        if load_qnames:
+            nq = lib.bd_n_qnames(h)
+            blob_len = lib.bd_qname_blob_len(h)
+            blob = ct.string_at(lib.bd_qname_blob(h), blob_len)
+            out.qnames = [s.decode() for s in blob.split(b"\0")[:nq]]
+        return out
+    finally:
+        lib.bd_free(h)
+
+
+def baq_one(ref_codes: np.ndarray, pos: int, cigar: np.ndarray,
+            seq_codes: np.ndarray, qual: np.ndarray) -> np.ndarray:
+    """Standalone BAQ for one alignment (testing)."""
+    lib = _load_lib()
+    ref_codes = np.ascontiguousarray(ref_codes, dtype=np.uint8)
+    cigar = np.ascontiguousarray(cigar, dtype=np.uint32)
+    seq_codes = np.ascontiguousarray(seq_codes, dtype=np.uint8)
+    qual = np.ascontiguousarray(qual, dtype=np.uint8)
+    out = qual.copy()
+    rc = lib.bd_baq_one(
+        ref_codes.ctypes.data_as(ct.POINTER(ct.c_uint8)), len(ref_codes),
+        pos, cigar.ctypes.data_as(ct.POINTER(ct.c_uint32)), len(cigar),
+        seq_codes.ctypes.data_as(ct.POINTER(ct.c_uint8)),
+        qual.ctypes.data_as(ct.POINTER(ct.c_uint8)), len(qual),
+        out.ctypes.data_as(ct.POINTER(ct.c_uint8)))
+    if rc != 0:
+        return qual.copy()
+    return out

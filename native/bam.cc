@@ -1,0 +1,482 @@
+/*
+ * BAM decoding: BGZF inflate (libdeflate, multithreaded) + record parsing
+ * into flat arrays (see instrain_io.h for the data contract).
+ */
+#include "instrain_io.h"
+
+#include <libdeflate.h>
+
+#include <atomic>
+#include <cstdio>
+#include <cstdlib>
+#include <cstring>
+#include <string>
+#include <thread>
+#include <unordered_map>
+#include <vector>
+
+static thread_local std::string g_err;
+extern "C" const char* bd_error(void) { return g_err.c_str(); }
+
+namespace {
+
+// ---------------- BGZF ----------------
+
+struct Block { size_t in_off; uint32_t in_len; size_t out_off; uint32_t out_len; };
+
+bool read_file(const char* path, std::vector<uint8_t>& buf) {
+    FILE* f = fopen(path, "rb");
+    if (!f) { g_err = std::string("cannot open ") + path; return false; }
+    fseek(f, 0, SEEK_END);
+    long sz = ftell(f);
+    fseek(f, 0, SEEK_SET);
+    buf.resize(sz);
+    if (sz && fread(buf.data(), 1, sz, f) != (size_t)sz) {
+        fclose(f); g_err = "short read"; return false;
+    }
+    fclose(f);
+    return true;
+}
+
+bool bgzf_scan(const std::vector<uint8_t>& in, std::vector<Block>& blocks) {
+    size_t p = 0, out = 0;
+    while (p + 18 <= in.size()) {
+        if (in[p] != 0x1f || in[p + 1] != 0x8b) { g_err = "bad gzip magic"; return false; }
+        uint16_t xlen; memcpy(&xlen, &in[p + 10], 2);
+        // find BC subfield
+        size_t q = p + 12, qe = q + xlen;
+        uint32_t bsize = 0;
+        while (q + 4 <= qe) {
+            uint8_t si1 = in[q], si2 = in[q + 1];
+            uint16_t slen; memcpy(&slen, &in[q + 2], 2);
+            if (si1 == 66 && si2 == 67 && slen == 2) {
+                uint16_t bs; memcpy(&bs, &in[q + 4], 2);
+                bsize = bs + 1;
+                break;
+            }
+            q += 4 + slen;
+        }
+        if (!bsize) { g_err = "missing BSIZE"; return false; }
+        uint32_t isize; memcpy(&isize, &in[p + bsize - 4], 4);
+        uint32_t cdata_len = bsize - xlen - 19 - 1;  // minus header(12+xlen), crc(4), isize(4)
+        blocks.push_back({p + 12 + xlen, cdata_len, out, isize});
+        out += isize;
+        p += bsize;
+    }
+    return true;
+}
+
+bool bgzf_inflate(const std::vector<uint8_t>& in, const std::vector<Block>& blocks,
+                  std::vector<uint8_t>& out, int threads) {
+    size_t total = blocks.empty() ? 0 : blocks.back().out_off + blocks.back().out_len;
+    out.resize(total);
+    std::atomic<size_t> next{0};
+    std::atomic<bool> ok{true};
+    auto work = [&]() {
+        libdeflate_decompressor* d = libdeflate_alloc_decompressor();
+        for (;;) {
+            size_t i = next.fetch_add(1);
+            if (i >= blocks.size()) break;
+            const Block& b = blocks[i];
+            if (b.out_len == 0) continue;
+            size_t actual = 0;
+            auto r = libdeflate_deflate_decompress(
+                d, in.data() + b.in_off, b.in_len, out.data() + b.out_off,
+                b.out_len, &actual);
+            if (r != LIBDEFLATE_SUCCESS || actual != b.out_len) ok = false;
+        }
+        libdeflate_free_decompressor(d);
+    };
+    if (threads <= 1) {
+        work();
+    } else {
+        std::vector<std::thread> ts;
+        for (int t = 0; t < threads; ++t) ts.emplace_back(work);
+        for (auto& t : ts) t.join();
+    }
+    if (!ok) g_err = "bgzf inflate failure";
+    return ok;
+}
+
+// ---------------- record store ----------------
+
+enum { CMATCH = 0, CINS = 1, CDEL = 2, CREF_SKIP = 3, CSOFT = 4,
+       CHARD = 5, CPAD = 6, CEQUAL = 7, CDIFF = 8 };
+static inline int cg_op(uint32_t c) { return c & 0xf; }
+static inline int64_t cg_len(uint32_t c) { return c >> 4; }
+
+// BAM 4-bit seq nibble -> base code (A0 C1 T2 G3 other 4)
+// nibble order: =ACMGRSVTWYHKDBN
+static const uint8_t NIB2CODE[16] = {4, 0, 1, 4, 3, 4, 4, 4,
+                                     2, 4, 4, 4, 4, 4, 4, 4};
+
+}  // namespace
+
+struct BamData {
+    std::vector<std::string> ref_names;
+    std::vector<int64_t> ref_lens;
+
+    std::vector<int32_t> ref_id;
+    std::vector<int32_t> pos;
+    std::vector<uint16_t> flag;
+    std::vector<uint8_t> mapq;
+    std::vector<int32_t> nm;
+    std::vector<int64_t> qname_id;
+    std::vector<int32_t> qlen_infer;
+    std::vector<int32_t> ref_start;
+    std::vector<int32_t> ref_end;
+    std::vector<int64_t> ev_off;
+    std::vector<int32_t> ev_len;
+    std::vector<uint8_t> pileup_ok;
+
+    std::vector<int32_t> ev_pos;
+    std::vector<uint8_t> ev_base;
+    std::vector<uint8_t> ev_qual;
+
+    std::string qname_blob;
+    std::vector<int64_t> qname_off;
+
+    // retained for BAQ: per-record cigar + full seq codes + quals
+    std::vector<uint32_t> cig_buf;
+    std::vector<int64_t> cig_off;
+    std::vector<int32_t> cig_n;
+    std::vector<uint8_t> seq_buf;   // full query codes
+    std::vector<uint8_t> qual_buf;  // full query quals
+    std::vector<int64_t> seq_off;
+    std::vector<int32_t> seq_len;
+    // map event index back to query base index (for BAQ/overlap re-apply)
+    std::vector<int32_t> ev_qpos;
+
+    // per-ref record ranges (records are coordinate-sorted within ref)
+    std::vector<int64_t> ref_rec_begin, ref_rec_end;
+};
+
+static int32_t parse_nm_tag(const uint8_t* p, const uint8_t* end) {
+    while (p + 3 <= end) {
+        char t0 = p[0], t1 = p[1], typ = p[2];
+        p += 3;
+        int64_t val = 0;
+        size_t sz = 0;
+        switch (typ) {
+            case 'A': sz = 1; break;
+            case 'c': sz = 1; val = *(const int8_t*)p; break;
+            case 'C': sz = 1; val = *(const uint8_t*)p; break;
+            case 's': sz = 2; { int16_t v; memcpy(&v, p, 2); val = v; } break;
+            case 'S': sz = 2; { uint16_t v; memcpy(&v, p, 2); val = v; } break;
+            case 'i': sz = 4; { int32_t v; memcpy(&v, p, 4); val = v; } break;
+            case 'I': sz = 4; { uint32_t v; memcpy(&v, p, 4); val = v; } break;
+            case 'f': sz = 4; break;
+            case 'Z': case 'H': {
+                const uint8_t* e = (const uint8_t*)memchr(p, 0, end - p);
+                if (!e) return -1;
+                sz = e - p + 1;
+                break;
+            }
+            case 'B': {
+                char st = (char)p[0];
+                uint32_t cnt; memcpy(&cnt, p + 1, 4);
+                size_t esz = (st == 'c' || st == 'C') ? 1
+                            : (st == 's' || st == 'S') ? 2 : 4;
+                sz = 5 + (size_t)cnt * esz;
+                break;
+            }
+            default: return -1;
+        }
+        if (t0 == 'N' && t1 == 'M' &&
+            (typ == 'c' || typ == 'C' || typ == 's' || typ == 'S' ||
+             typ == 'i' || typ == 'I'))
+            return (int32_t)val;
+        p += sz;
+    }
+    return -1;
+}
+
+extern "C" BamData* bd_open(const char* path, int threads) {
+    std::vector<uint8_t> raw;
+    if (!read_file(path, raw)) return nullptr;
+
+    std::vector<uint8_t> data;
+    if (raw.size() >= 4 && raw[0] == 0x1f && raw[1] == 0x8b) {
+        std::vector<Block> blocks;
+        if (!bgzf_scan(raw, blocks)) return nullptr;
+        if (!bgzf_inflate(raw, blocks, data, threads)) return nullptr;
+        raw.clear(); raw.shrink_to_fit();
+    } else {
+        data = std::move(raw);  // uncompressed BAM
+    }
+
+    if (data.size() < 12 || memcmp(data.data(), "BAM\1", 4) != 0) {
+        g_err = "not a BAM file";
+        return nullptr;
+    }
+
+    auto h = new BamData();
+    size_t p = 4;
+    int32_t l_text; memcpy(&l_text, &data[p], 4); p += 4 + l_text;
+    int32_t n_ref; memcpy(&n_ref, &data[p], 4); p += 4;
+    for (int i = 0; i < n_ref; ++i) {
+        int32_t l_name; memcpy(&l_name, &data[p], 4); p += 4;
+        h->ref_names.emplace_back((const char*)&data[p], l_name - 1);
+        p += l_name;
+        int32_t l_ref; memcpy(&l_ref, &data[p], 4); p += 4;
+        h->ref_lens.push_back(l_ref);
+    }
+    h->ref_rec_begin.assign(n_ref, -1);
+    h->ref_rec_end.assign(n_ref, -1);
+
+    std::unordered_map<std::string, int64_t> qmap;
+    qmap.reserve(1 << 20);
+
+    while (p + 4 <= data.size()) {
+        int32_t block_size; memcpy(&block_size, &data[p], 4); p += 4;
+        if (p + block_size > data.size()) break;
+        const uint8_t* rec = &data[p];
+        p += block_size;
+
+        int32_t refID, rpos, l_seq, next_ref, next_pos, tlen;
+        memcpy(&refID, rec + 0, 4);
+        memcpy(&rpos, rec + 4, 4);
+        uint8_t l_rn = rec[8], mq = rec[9];
+        uint16_t n_cig, fl;
+        memcpy(&n_cig, rec + 12, 2);
+        memcpy(&fl, rec + 14, 2);
+        memcpy(&l_seq, rec + 16, 4);
+        memcpy(&next_ref, rec + 20, 4);
+        memcpy(&next_pos, rec + 24, 4);
+        memcpy(&tlen, rec + 28, 4);
+
+        // skip unmapped / refless records everywhere (the reference skips
+        // reads with no reference positions, filter_reads.py:911-912)
+        if (refID < 0 || (fl & 0x4)) continue;
+
+        const char* qname = (const char*)(rec + 32);
+        const uint32_t* cig = (const uint32_t*)(rec + 32 + l_rn);
+        const uint8_t* seq = rec + 32 + l_rn + 4 * (size_t)n_cig;
+        const uint8_t* qual = seq + (l_seq + 1) / 2;
+        const uint8_t* tags = qual + l_seq;
+        const uint8_t* rec_end = rec + block_size;
+
+        // expand per-base info
+        int64_t ev0 = (int64_t)h->ev_pos.size();
+        int64_t x = rpos;  // ref cursor
+        int64_t y = 0;     // query cursor
+        int32_t qlen = 0;
+        int32_t rstart = -1, rend = -1;
+        for (int k = 0; k < n_cig; ++k) {
+            int op = cg_op(cig[k]);
+            int64_t l = cg_len(cig[k]);
+            if (op == CMATCH || op == CEQUAL || op == CDIFF) {
+                for (int64_t j = 0; j < l; ++j) {
+                    int64_t qi = y + j;
+                    uint8_t nib = (qi & 1) ? (seq[qi >> 1] & 0xf)
+                                           : (seq[qi >> 1] >> 4);
+                    h->ev_pos.push_back((int32_t)(x + j));
+                    h->ev_base.push_back(NIB2CODE[nib]);
+                    h->ev_qual.push_back(qual[qi] == 0xff ? 0 : qual[qi]);
+                    h->ev_qpos.push_back((int32_t)qi);
+                }
+                if (rstart < 0) rstart = (int32_t)x;
+                rend = (int32_t)(x + l - 1);
+                x += l; y += l; qlen += l;
+            } else if (op == CINS) {
+                y += l; qlen += l;
+            } else if (op == CSOFT) {
+                y += l; qlen += l;
+            } else if (op == CDEL || op == CREF_SKIP) {
+                x += l;
+            }
+        }
+        if (rstart < 0) {
+            // no aligned bases: drop (matches get_reference_positions()==[])
+            h->ev_pos.resize(ev0); h->ev_base.resize(ev0);
+            h->ev_qual.resize(ev0); h->ev_qpos.resize(ev0);
+            continue;
+        }
+
+        // qname intern
+        std::string qn(qname, l_rn > 0 ? l_rn - 1 : 0);
+        auto it = qmap.find(qn);
+        int64_t qid;
+        if (it == qmap.end()) {
+            qid = (int64_t)qmap.size();
+            qmap.emplace(qn, qid);
+            h->qname_off.push_back((int64_t)h->qname_blob.size());
+            h->qname_blob += qn;
+            h->qname_blob += '\0';
+        } else {
+            qid = it->second;
+        }
+
+        int64_t ridx = (int64_t)h->ref_id.size();
+        h->ref_id.push_back(refID);
+        h->pos.push_back(rpos);
+        h->flag.push_back(fl);
+        h->mapq.push_back(mq);
+        h->nm.push_back(parse_nm_tag(tags, rec_end));
+        h->qname_id.push_back(qid);
+        h->qlen_infer.push_back(qlen);
+        h->ref_start.push_back(rstart);
+        h->ref_end.push_back(rend);
+        h->ev_off.push_back(ev0);
+        h->ev_len.push_back((int32_t)(h->ev_pos.size() - ev0));
+        // orphan rule: paired but not proper pair -> excluded from pileup
+        bool orphan = (fl & 0x1) && !(fl & 0x2);
+        h->pileup_ok.push_back(orphan ? 0 : 1);
+
+        // store cigar/seq/qual for BAQ
+        h->cig_off.push_back((int64_t)h->cig_buf.size());
+        h->cig_n.push_back(n_cig);
+        h->cig_buf.insert(h->cig_buf.end(), cig, cig + n_cig);
+        h->seq_off.push_back((int64_t)h->seq_buf.size());
+        h->seq_len.push_back(l_seq);
+        for (int64_t qi = 0; qi < l_seq; ++qi) {
+            uint8_t nib = (qi & 1) ? (seq[qi >> 1] & 0xf) : (seq[qi >> 1] >> 4);
+            h->seq_buf.push_back(NIB2CODE[nib]);
+            h->qual_buf.push_back(qual[qi] == 0xff ? 0 : qual[qi]);
+        }
+
+        if (h->ref_rec_begin[refID] < 0) h->ref_rec_begin[refID] = ridx;
+        h->ref_rec_end[refID] = ridx + 1;
+    }
+    return h;
+}
+
+extern "C" void bd_free(BamData* h) { delete h; }
+
+extern "C" void bd_apply_baq(BamData* h, int32_t ref_id,
+                             const uint8_t* ref_seq, int64_t len) {
+    // ref_seq is ASCII; convert to codes once
+    std::vector<uint8_t> codes(len);
+    for (int64_t i = 0; i < len; ++i) {
+        switch (ref_seq[i]) {
+            case 'A': codes[i] = 0; break;
+            case 'C': codes[i] = 1; break;
+            case 'T': codes[i] = 2; break;
+            case 'G': codes[i] = 3; break;
+            default: codes[i] = 4;
+        }
+    }
+    int64_t beg = h->ref_rec_begin[ref_id], end = h->ref_rec_end[ref_id];
+    if (beg < 0) return;
+
+    std::atomic<int64_t> next{beg};
+    int nthreads = (int)std::thread::hardware_concurrency();
+    if (nthreads > 16) nthreads = 16;
+    if (nthreads < 1) nthreads = 1;
+    auto work = [&]() {
+        std::vector<uint8_t> outq;
+        for (;;) {
+            int64_t r = next.fetch_add(1);
+            if (r >= end) break;
+            if (h->ref_id[r] != ref_id) continue;
+            int l_qseq = h->seq_len[r];
+            if (l_qseq <= 0) continue;
+            outq.resize(l_qseq);
+            const uint8_t* scodes = &h->seq_buf[h->seq_off[r]];
+            const uint8_t* squal = &h->qual_buf[h->seq_off[r]];
+            int rc = bd_baq_one(codes.data(), len, h->pos[r],
+                                &h->cig_buf[h->cig_off[r]], h->cig_n[r],
+                                scodes, squal, l_qseq, outq.data());
+            if (rc != 0) continue;
+            // re-apply to events
+            int64_t e0 = h->ev_off[r];
+            int32_t el = h->ev_len[r];
+            for (int32_t j = 0; j < el; ++j)
+                h->ev_qual[e0 + j] = outq[h->ev_qpos[e0 + j]];
+        }
+    };
+    std::vector<std::thread> ts;
+    for (int t = 1; t < nthreads; ++t) ts.emplace_back(work);
+    work();
+    for (auto& t : ts) t.join();
+}
+
+extern "C" void bd_tweak_overlaps(BamData* h) {
+    // Mate-overlap double-count removal, per qname within each ref
+    // (htslib-style: where mates overlap, agreeing bases concentrate
+    // quality on the first-encountered mate and zero the second; on
+    // disagreement the higher-quality base survives at 0.8x quality).
+    // Only primary, pileup-eligible, paired records participate.
+    std::unordered_map<int64_t, int64_t> first_rec;  // qname_id -> record
+    first_rec.reserve(h->ref_id.size());
+    size_t nref = h->ref_names.size();
+    for (size_t ref = 0; ref < nref; ++ref) {
+        int64_t beg = h->ref_rec_begin[ref], end = h->ref_rec_end[ref];
+        if (beg < 0) continue;
+        first_rec.clear();
+        for (int64_t r = beg; r < end; ++r) {
+            if (h->ref_id[r] != (int32_t)ref) continue;
+            if (!h->pileup_ok[r]) continue;
+            uint16_t fl = h->flag[r];
+            if (!(fl & 0x1)) continue;          // unpaired
+            if (fl & 0x900) continue;           // secondary/supplementary
+            auto it = first_rec.find(h->qname_id[r]);
+            if (it == first_rec.end()) {
+                first_rec.emplace(h->qname_id[r], r);
+                continue;
+            }
+            int64_t a = it->second, b = r;
+            // overlap region in ref coords
+            int32_t lo = h->ref_start[b] > h->ref_start[a] ? h->ref_start[b]
+                                                          : h->ref_start[a];
+            int32_t hi = h->ref_end[b] < h->ref_end[a] ? h->ref_end[b]
+                                                       : h->ref_end[a];
+            if (lo > hi) continue;
+            // walk both event ranges over [lo, hi]
+            int64_t ea = h->ev_off[a], eb = h->ev_off[b];
+            int64_t ea_end = ea + h->ev_len[a], eb_end = eb + h->ev_len[b];
+            while (ea < ea_end && h->ev_pos[ea] < lo) ++ea;
+            while (eb < eb_end && h->ev_pos[eb] < lo) ++eb;
+            while (ea < ea_end && eb < eb_end) {
+                int32_t pa = h->ev_pos[ea], pb = h->ev_pos[eb];
+                if (pa > hi || pb > hi) break;
+                if (pa < pb) { ++ea; continue; }
+                if (pb < pa) { ++eb; continue; }
+                uint8_t& qa = h->ev_qual[ea];
+                uint8_t& qb = h->ev_qual[eb];
+                if (h->ev_base[ea] == h->ev_base[eb]) {
+                    int q = qa + qb;
+                    qa = q > 200 ? 200 : (uint8_t)q;
+                    qb = 0;
+                } else {
+                    if (qa >= qb) {
+                        qa = (uint8_t)(0.8 * qa);
+                        qb = 0;
+                    } else {
+                        qb = (uint8_t)(0.8 * qb);
+                        qa = 0;
+                    }
+                }
+                ++ea; ++eb;
+            }
+        }
+    }
+}
+
+// ---- accessors ----
+extern "C" {
+int64_t bd_n_refs(BamData* h) { return (int64_t)h->ref_names.size(); }
+const char* bd_ref_name(BamData* h, int64_t i) { return h->ref_names[i].c_str(); }
+int64_t bd_ref_len(BamData* h, int64_t i) { return h->ref_lens[i]; }
+int64_t bd_n_records(BamData* h) { return (int64_t)h->ref_id.size(); }
+const int32_t* bd_rec_ref_id(BamData* h) { return h->ref_id.data(); }
+const int32_t* bd_rec_pos(BamData* h) { return h->pos.data(); }
+const uint16_t* bd_rec_flag(BamData* h) { return h->flag.data(); }
+const uint8_t* bd_rec_mapq(BamData* h) { return h->mapq.data(); }
+const int32_t* bd_rec_nm(BamData* h) { return h->nm.data(); }
+const int64_t* bd_rec_qname_id(BamData* h) { return h->qname_id.data(); }
+const int32_t* bd_rec_qlen_infer(BamData* h) { return h->qlen_infer.data(); }
+const int32_t* bd_rec_ref_start(BamData* h) { return h->ref_start.data(); }
+const int32_t* bd_rec_ref_end(BamData* h) { return h->ref_end.data(); }
+const int64_t* bd_rec_ev_off(BamData* h) { return h->ev_off.data(); }
+const int32_t* bd_rec_ev_len(BamData* h) { return h->ev_len.data(); }
+const uint8_t* bd_rec_pileup_ok(BamData* h) { return h->pileup_ok.data(); }
+int64_t bd_n_events(BamData* h) { return (int64_t)h->ev_pos.size(); }
+const int32_t* bd_ev_pos(BamData* h) { return h->ev_pos.data(); }
+const uint8_t* bd_ev_base(BamData* h) { return h->ev_base.data(); }
+const uint8_t* bd_ev_qual(BamData* h) { return h->ev_qual.data(); }
+int64_t bd_n_qnames(BamData* h) { return (int64_t)h->qname_off.size(); }
+const char* bd_qname_blob(BamData* h) { return h->qname_blob.data(); }
+int64_t bd_qname_blob_len(BamData* h) { return (int64_t)h->qname_blob.size(); }
+const int64_t* bd_qname_off(BamData* h) { return h->qname_off.data(); }
+}
