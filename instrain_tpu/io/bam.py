@@ -67,6 +67,7 @@ def _load_lib():
     lib.bd_apply_baq.argtypes = [ct.c_void_p, ct.c_int32,
                                  ct.POINTER(ct.c_uint8), ct.c_int64]
     lib.bd_tweak_overlaps.argtypes = [ct.c_void_p]
+    lib.bd_tweak_overlaps_ex.argtypes = [ct.c_void_p, ct.c_int, ct.c_int]
     lib.bd_baq_one.restype = ct.c_int
     lib.bd_baq_one.argtypes = [
         ct.POINTER(ct.c_uint8), ct.c_int64, ct.c_int64,
@@ -123,8 +124,10 @@ class BamArrays:
 
 
 def decode_bam(path: str, ref_seqs: Optional[Dict[str, np.ndarray]] = None,
-               threads: int = 6, baq: bool = True,
+               threads: int = 6, baq: bool = False,
                tweak_overlaps: bool = True,
+               tweak_orphans: bool = False,
+               tweak_legacy_walk: bool = True,
                load_qnames: bool = True) -> BamArrays:
     """
     Decode a BAM file.
@@ -153,7 +156,8 @@ def decode_bam(path: str, ref_seqs: Optional[Dict[str, np.ndarray]] = None,
                                  seq.ctypes.data_as(ct.POINTER(ct.c_uint8)),
                                  len(seq))
         if tweak_overlaps:
-            lib.bd_tweak_overlaps(h)
+            lib.bd_tweak_overlaps_ex(h, int(tweak_orphans),
+                                     int(tweak_legacy_walk))
 
         n = lib.bd_n_records(h)
         ne = lib.bd_n_events(h)

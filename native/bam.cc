@@ -378,7 +378,9 @@ extern "C" void bd_apply_baq(BamData* h, int32_t ref_id,
                                 &h->cig_buf[h->cig_off[r]], h->cig_n[r],
                                 scodes, squal, l_qseq, outq.data());
             if (rc != 0) continue;
-            // re-apply to events
+            // persist to qual_buf (so overlap tweaking sees BAQ'd quals,
+            // matching the BAQ-then-tweak pileup order) and to events
+            memcpy(&h->qual_buf[h->seq_off[r]], outq.data(), l_qseq);
             int64_t e0 = h->ev_off[r];
             int32_t el = h->ev_len[r];
             for (int32_t j = 0; j < el; ++j)
@@ -391,14 +393,140 @@ extern "C" void bd_apply_baq(BamData* h, int32_t ref_id,
     for (auto& t : ts) t.join();
 }
 
+namespace {
+
+/*
+ * Emulation of the htslib (<= 1.11) overlap-removal cigar walk, including
+ * its op-boundary desync quirk: when the walk exits an M run it advances to
+ * the next op WITHOUT consuming that run's final base, so columns at M-run
+ * boundaries (and the read's final base when the cigar ends in M after an
+ * indel) are never tweaked. The reference's pileups ran through pysam
+ * builds bundling that htslib, so golden outputs bake this behavior in.
+ */
+struct CigWalk {
+    const uint32_t* cig;
+    const uint32_t* cig_end;
+    int64_t icig = 0, iseq = 0, iref = 0;
+
+    // position at ref offset `target` (relative to read start);
+    // returns <0 if no aligned base at/after target.
+    int set(int64_t target) {
+        int64_t pos = target;
+        if (pos < 0) { iref = -1; return -1; }
+        icig = iseq = iref = 0;
+        while (cig < cig_end) {
+            int op = *cig & 0xf;
+            int64_t n = *cig >> 4;
+            if (op == CSOFT) { ++cig; iseq += n; icig = 0; continue; }
+            if (op == CHARD || op == CPAD) { ++cig; icig = 0; continue; }
+            if (op == CMATCH || op == CEQUAL || op == CDIFF) {
+                pos -= n;
+                if (pos < 0) {
+                    icig = n + pos; iseq += icig; iref += icig;
+                    return 0;
+                }
+                ++cig; iseq += n; iref += n; icig = 0; continue;
+            }
+            if (op == CINS) { ++cig; iseq += n; icig = 0; continue; }
+            if (op == CDEL || op == CREF_SKIP) {
+                pos -= n;
+                if (pos < 0) pos = 0;
+                ++cig; iref += n; icig = 0; continue;
+            }
+            return -2;
+        }
+        iref = -1;
+        return -1;
+    }
+
+    int next() {
+        while (cig < cig_end) {
+            int op = *cig & 0xf;
+            int64_t n = *cig >> 4;
+            if (op == CMATCH || op == CEQUAL || op == CDIFF) {
+                if (icig >= n - 1) { ++cig; icig = 0; continue; }
+                ++iseq; ++icig; ++iref;
+                return 0;
+            }
+            if (op == CSOFT || op == CINS) { ++cig; icig = 0; iseq += n; continue; }
+            if (op == CHARD || op == CPAD) { ++cig; icig = 0; continue; }
+            if (op == CDEL || op == CREF_SKIP) { ++cig; icig = 0; iref += n; continue; }
+            return -2;
+        }
+        iref = -1;
+        return -1;
+    }
+};
+
+}  // namespace
+
+static void tweak_pair_htslib(BamData* h, int64_t a, int64_t b,
+                              uint8_t* qual_a, uint8_t* qual_b) {
+    CigWalk wa{&h->cig_buf[h->cig_off[a]],
+               &h->cig_buf[h->cig_off[a]] + h->cig_n[a]};
+    CigWalk wb{&h->cig_buf[h->cig_off[b]],
+               &h->cig_buf[h->cig_off[b]] + h->cig_n[b]};
+    const uint8_t* seq_a = &h->seq_buf[h->seq_off[a]];
+    const uint8_t* seq_b = &h->seq_buf[h->seq_off[b]];
+    int64_t pos_a = h->pos[a], pos_b = h->pos[b];
+
+    int64_t iref = pos_b;  // overlap starts at the second read's start
+    int a_ret = wa.set(iref - pos_a);
+    if (a_ret < 0) return;
+    int b_ret = wb.set(iref - pos_b);
+    if (b_ret < 0) return;
+
+    while (true) {
+        while (wa.iref >= 0 && wa.iref < iref - pos_a) a_ret = wa.next();
+        if (a_ret < 0) break;
+        if (iref < wa.iref + pos_a) iref = wa.iref + pos_a;
+        while (wb.iref >= 0 && wb.iref < iref - pos_b) b_ret = wb.next();
+        if (b_ret < 0) break;
+        if (iref < wb.iref + pos_b) iref = wb.iref + pos_b;
+        ++iref;
+        if (wa.iref + pos_a != wb.iref + pos_b) continue;
+
+        int64_t ia = wa.iseq, ib = wb.iseq;
+        if (ia < 0 || ia >= h->seq_len[a] || ib < 0 || ib >= h->seq_len[b])
+            break;
+        if (seq_a[ia] == seq_b[ib]) {
+            int q = qual_a[ia] + qual_b[ib];
+            qual_a[ia] = q > 200 ? 200 : (uint8_t)q;
+            qual_b[ib] = 0;
+        } else {
+            if (qual_a[ia] >= qual_b[ib]) {
+                qual_a[ia] = (uint8_t)(0.8 * qual_a[ia]);
+                qual_b[ib] = 0;
+            } else {
+                qual_b[ib] = (uint8_t)(0.8 * qual_b[ib]);
+                qual_a[ia] = 0;
+            }
+        }
+    }
+}
+
+static void refresh_events(BamData* h, int64_t r) {
+    int64_t e0 = h->ev_off[r];
+    int32_t el = h->ev_len[r];
+    const uint8_t* q = &h->qual_buf[h->seq_off[r]];
+    for (int32_t j = 0; j < el; ++j)
+        h->ev_qual[e0 + j] = q[h->ev_qpos[e0 + j]];
+}
+
+extern "C" void bd_tweak_overlaps_ex(BamData* h, int include_orphans,
+                                     int legacy_walk);
 extern "C" void bd_tweak_overlaps(BamData* h) {
-    // Mate-overlap double-count removal, per qname within each ref
-    // (htslib-style: where mates overlap, agreeing bases concentrate
-    // quality on the first-encountered mate and zero the second; on
-    // disagreement the higher-quality base survives at 0.8x quality).
-    // Only primary, pileup-eligible, paired records participate.
+    bd_tweak_overlaps_ex(h, 0, 1);
+}
+extern "C" void bd_tweak_overlaps_ex(BamData* h, int include_orphans,
+                                     int legacy_walk) {
+    /* Mate-overlap double-count removal, per qname within each ref:
+     * agreeing bases concentrate quality on the first-encountered mate and
+     * zero the second; on disagreement the higher-quality base survives at
+     * 0.8x quality. Matching the observed reference behavior, non-proper
+     * pairs ("orphans") are not tweaked unless include_orphans is set. */
+    (void)legacy_walk;
     std::unordered_map<int64_t, int64_t> first_rec;  // qname_id -> record
-    first_rec.reserve(h->ref_id.size());
     size_t nref = h->ref_names.size();
     for (size_t ref = 0; ref < nref; ++ref) {
         int64_t beg = h->ref_rec_begin[ref], end = h->ref_rec_end[ref];
@@ -406,49 +534,22 @@ extern "C" void bd_tweak_overlaps(BamData* h) {
         first_rec.clear();
         for (int64_t r = beg; r < end; ++r) {
             if (h->ref_id[r] != (int32_t)ref) continue;
-            if (!h->pileup_ok[r]) continue;
             uint16_t fl = h->flag[r];
             if (!(fl & 0x1)) continue;          // unpaired
+            if (fl & 0x8) continue;             // mate unmapped
             if (fl & 0x900) continue;           // secondary/supplementary
+            if (!include_orphans && !(fl & 0x2)) continue;  // orphan
             auto it = first_rec.find(h->qname_id[r]);
             if (it == first_rec.end()) {
                 first_rec.emplace(h->qname_id[r], r);
                 continue;
             }
             int64_t a = it->second, b = r;
-            // overlap region in ref coords
-            int32_t lo = h->ref_start[b] > h->ref_start[a] ? h->ref_start[b]
-                                                          : h->ref_start[a];
-            int32_t hi = h->ref_end[b] < h->ref_end[a] ? h->ref_end[b]
-                                                       : h->ref_end[a];
-            if (lo > hi) continue;
-            // walk both event ranges over [lo, hi]
-            int64_t ea = h->ev_off[a], eb = h->ev_off[b];
-            int64_t ea_end = ea + h->ev_len[a], eb_end = eb + h->ev_len[b];
-            while (ea < ea_end && h->ev_pos[ea] < lo) ++ea;
-            while (eb < eb_end && h->ev_pos[eb] < lo) ++eb;
-            while (ea < ea_end && eb < eb_end) {
-                int32_t pa = h->ev_pos[ea], pb = h->ev_pos[eb];
-                if (pa > hi || pb > hi) break;
-                if (pa < pb) { ++ea; continue; }
-                if (pb < pa) { ++eb; continue; }
-                uint8_t& qa = h->ev_qual[ea];
-                uint8_t& qb = h->ev_qual[eb];
-                if (h->ev_base[ea] == h->ev_base[eb]) {
-                    int q = qa + qb;
-                    qa = q > 200 ? 200 : (uint8_t)q;
-                    qb = 0;
-                } else {
-                    if (qa >= qb) {
-                        qa = (uint8_t)(0.8 * qa);
-                        qb = 0;
-                    } else {
-                        qb = (uint8_t)(0.8 * qb);
-                        qa = 0;
-                    }
-                }
-                ++ea; ++eb;
-            }
+            first_rec.erase(it);
+            tweak_pair_htslib(h, a, b, &h->qual_buf[h->seq_off[a]],
+                              &h->qual_buf[h->seq_off[b]]);
+            refresh_events(h, a);
+            refresh_events(h, b);
         }
     }
 }
