@@ -1,0 +1,220 @@
+"""
+SNV-calling kernel tests: randomized-input oracle comparison against the
+reference's pure-Python call_snv_site / update_snp_table, plus golden-file
+parity on the sars-cov-2 profile.
+"""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+import jax
+
+from instrain_tpu.kernels.nullmodel import (analytic_null_thresholds,
+                                            load_null_model_file)
+from instrain_tpu.kernels.sitestats import (CLASS_NAMES, freq_min_count_lut,
+                                            site_stats)
+from reference_oracle import import_reference
+
+
+@pytest.fixture(scope="module")
+def oracle():
+    return import_reference("inStrain.profile.snv_utilities")
+
+
+@pytest.fixture(scope="module")
+def oracle_model(ref_null_model, oracle):
+    return oracle.generate_snp_model(ref_null_model, fdr=1e-6)
+
+
+def test_null_model_matches_reference_parser(ref_null_model, oracle,
+                                             oracle_model):
+    lut = load_null_model_file(ref_null_model, fdr=1e-6)
+    for cov in range(1, 10001):
+        expected = oracle_model.get(cov, oracle_model[-1])
+        assert lut[min(cov, len(lut) - 1)] == expected, cov
+
+
+def _run_kernel(counts, ref_codes, null_lut, freq_lut, min_cov=5):
+    out = site_stats(counts.astype(np.int32), ref_codes.astype(np.uint8),
+                     null_lut, freq_lut, jax.random.PRNGKey(0),
+                     min_cov=min_cov)
+    return {k: np.asarray(v) for k, v in out.items()}
+
+
+def test_call_snv_site_oracle(oracle, oracle_model, ref_null_model):
+    """Randomized counts: kernel call/morphia == reference call_snv_site."""
+    rng = np.random.default_rng(0)
+    n = 4000
+    # counts spanning interesting regimes incl. threshold boundaries
+    counts = np.zeros((1, 4, n), dtype=np.int64)
+    counts[0, :, : n // 2] = rng.integers(0, 30, (4, n // 2))
+    counts[0, :, n // 2:] = rng.integers(0, 6, (4, n - n // 2))
+    ref_codes = rng.integers(0, 5, n)
+
+    null_lut = load_null_model_file(ref_null_model, fdr=1e-6)
+    freq_lut = freq_min_count_lut(0.05)
+    out = _run_kernel(counts, ref_codes, null_lut, freq_lut)
+
+    P2C = {"A": 0, "C": 1, "T": 2, "G": 3}
+    C2P = "ACTG"
+    for i in range(n):
+        c = counts[0, :, i]
+        ref_b = "ACTGN"[ref_codes[i]]
+        snp, morphia = oracle.call_snv_site(c, ref_b, oracle_model,
+                                            min_cov=5, min_freq=0.05)
+        got_call = out["call"][0, i]
+        got_mor = out["morphia"][0, i]
+        if snp is None:
+            assert got_call == -2, (i, c, snp, got_call)
+        elif snp == -1:
+            assert got_call == -1, (i, c, snp, got_call)
+            assert got_mor == morphia
+        else:
+            assert got_call == P2C[snp], (i, c, snp, got_call)
+            assert got_mor == morphia
+
+
+def test_snp_class_oracle(oracle, oracle_model, ref_null_model):
+    """Randomized counts: class codes match reference calc_snp_class."""
+    rng = np.random.default_rng(1)
+    n = 2000
+    counts = np.zeros((1, 4, n), dtype=np.int64)
+    counts[0] = rng.integers(0, 40, (4, n))
+    ref_codes = rng.integers(0, 5, n)
+    null_lut = load_null_model_file(ref_null_model, fdr=1e-6)
+    freq_lut = freq_min_count_lut(0.05)
+    out = _run_kernel(counts, ref_codes, null_lut, freq_lut)
+
+    P2C = {"A": 0, "C": 1, "T": 2, "G": 3}
+    C2P = "ACTG"
+    for i in range(n):
+        if not out["row"][0, i]:
+            continue
+        c = counts[0, :, i]
+        ref_b = "ACTGN"[ref_codes[i]]
+        con = C2P[out["con"][0, i]]
+        var = C2P[out["var"][0, i]]
+        morphia = int(out["morphia"][0, i])
+        expected = oracle.calc_snp_class(con, ref_b, var, c, morphia,
+                                         oracle_model, min_cov=5,
+                                         min_freq=0.05)
+        assert CLASS_NAMES[out["cls"][0, i]] == expected, (i, c)
+
+
+def test_update_snp_table_oracle(oracle, oracle_model, ref_null_model):
+    """
+    Multi-mm positions: row emission, cumulative counts, cryptic flags and
+    clonality match the reference's per-position mm scan.
+    """
+    from collections import defaultdict
+
+    rng = np.random.default_rng(2)
+    M, L = 5, 300
+    counts = rng.integers(0, 8, (M, 4, L))
+    # sparsify the mm axis like real data
+    counts[rng.random((M, 4, L)) < 0.5] = 0
+    ref_codes = rng.integers(0, 4, L)
+
+    null_lut = load_null_model_file(ref_null_model, fdr=1e-6)
+    freq_lut = freq_min_count_lut(0.05)
+    out = _run_kernel(counts, ref_codes, null_lut, freq_lut)
+
+    for pos in range(L):
+        MMcounts = {}
+        for m in range(M):
+            if counts[m, :, pos].sum() > 0:
+                MMcounts[m] = counts[m, :, pos]
+        Stable = defaultdict(list)
+        clonT, clonTR, p2c = {}, {}, {}
+        oracle.update_snp_table(Stable, clonT, clonTR, MMcounts, p2c, pos,
+                                "scaf", L, "ACTGN"[ref_codes[pos]],
+                                oracle_model, min_cov=5, min_covR=50,
+                                min_freq=0.05)
+        ref_rows = list(zip(Stable["mm"], Stable["con_base"],
+                            Stable["var_base"], Stable["allele_count"],
+                            Stable["class"]))
+        got_rows = [(m, "ACTG"[out["con"][m, pos]],
+                     "ACTG"[out["var"][m, pos]],
+                     int(out["morphia"][m, pos]),
+                     CLASS_NAMES[out["cls"][m, pos]])
+                    for m in range(M) if out["row"][m, pos]]
+        assert got_rows == ref_rows, (pos, MMcounts)
+        assert bool(out["cryptic"][pos]) == p2c.get(pos, False), pos
+        # clonality values at set cells
+        for m in range(M):
+            ref_has = m in clonT and not np.isnan(clonT[m][pos])
+            got_has = not np.isnan(out["clon"][m, pos])
+            assert ref_has == got_has, (pos, m)
+            if ref_has:
+                assert abs(clonT[m][pos] - out["clon"][m, pos]) < 1e-6
+
+
+def test_freq_lut_matches_float_division():
+    for f in (0.05, 0.01, 0.1, 0.33):
+        lut = freq_min_count_lut(f, max_coverage=3000)
+        for T in (1, 7, 20, 100, 999, 3000):
+            c = lut[T]
+            assert c / T >= f
+            if c > 0:
+                assert (c - 1) / T < f
+
+
+class TestSarsGolden:
+    """Golden-file parity on the sars profile (v1.2.4-era golden; see
+    io/bam.py for the pileup-behavior notes; small residuals tolerated)."""
+
+    def test_snp_table_rows(self, sars_profiled, sars_is):
+        from instrain_tpu.profile import tables
+        st = sars_profiled["stats"]
+        snp = tables.cumulative_snv_table(
+            tables.snp_table(st, sars_profiled["ref_codes"]))
+        gold = pd.read_csv(sars_is + "/raw_data/cumulative_snv_table.csv.gz",
+                           index_col=0)
+        gold = gold.rename(columns={
+            "refBase": "ref_base", "conBase": "con_base",
+            "varBase": "var_base", "baseCoverage": "position_coverage"})
+        m = pd.merge(gold, snp, on=["position", "mm"], suffixes=("_g", "_o"))
+        # nearly all rows match exactly on call results
+        assert len(m) >= 0.99 * len(gold)
+        for col in ["ref_base", "con_base", "var_base", "allele_count"]:
+            assert (m[col + "_g"] == m[col + "_o"]).all()
+        # counts equal within the overlap-tweak residual
+        for col in ["A", "C", "T", "G"]:
+            assert (m[col + "_g"] - m[col + "_o"]).abs().max() <= 3
+            assert ((m[col + "_g"] != m[col + "_o"]).mean()) < 0.05
+
+    def test_coverage_breadth(self, sars_profiled, sars_is):
+        from instrain_tpu.profile import tables
+        st = sars_profiled["stats"]
+        cov = tables.coverage_table(st)
+        gold = pd.read_csv(
+            sars_is + "/raw_data/cumulative_scaffold_table.csv.gz",
+            index_col=0)
+        m = pd.merge(gold, cov, on="mm", suffixes=("_g", "_o"))
+        assert len(m) == len(gold) == len(cov)
+        assert np.allclose(m["breadth_g"], m["breadth_o"], atol=1e-9)
+        assert np.allclose(m["unmaskedBreadth"], m["breadth_minCov"],
+                           atol=1e-9)
+        assert np.allclose(m["coverage_g"], m["coverage_o"], rtol=0.01)
+        assert np.allclose(1 - m["mean_clonality"], m["nucl_diversity"],
+                           atol=1e-3)
+
+    def test_covT_positions(self, sars_profiled, sars_is):
+        import h5py
+        from instrain_tpu.profile import tables
+        covT = tables.covT_view(sars_profiled["stats"])
+        f = h5py.File(sars_is + "/raw_data/covT.hd5", "r")
+        total_vals = 0
+        equal_vals = 0
+        for k in f.keys():
+            mm = int(k.split("::")[1])
+            d = np.array(f[k])
+            gpos, gval = d[1].astype(int), d[0]
+            s = covT[mm]
+            merged = pd.merge(
+                pd.Series(gval, index=gpos, name="g"),
+                s.rename("o"), left_index=True, right_index=True)
+            total_vals += len(gpos)
+            equal_vals += (merged["g"] == merged["o"]).sum()
+        assert equal_vals / total_vals > 0.97
