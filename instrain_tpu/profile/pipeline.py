@@ -1,0 +1,277 @@
+"""
+The `profile` operation: BAM + FASTA -> profile directory.
+
+Mirrors the reference's 5-step pipeline (controller.py:144-169):
+validate -> filter reads -> profile scaffolds -> genome_wide -> plots,
+with the process-pool split/merge machinery replaced by dense per-scaffold
+kernel passes (see SURVEY §2.16 / §7).
+"""
+
+from __future__ import annotations
+
+import logging
+import time
+from dataclasses import dataclass
+from typing import Dict, List, Optional
+
+import numpy as np
+import pandas as pd
+
+from ..config import ProfileConfig
+from ..io import fasta as fasta_io
+from ..io.bam import decode_bam
+from ..obs.logging import log_checkpoint
+from ..store.profile_dir import ProfileDir
+from ..store import generate as gen
+from . import linkage as linkage_mod
+from . import tables
+from .filter_reads import PairSet, filter_reads, write_mapping_info
+from .pileup import ScaffoldStats, build_scaffold_pileup, make_luts, \
+    run_site_stats
+
+
+@dataclass
+class ScaffoldProfileResult:
+    name: str
+    length: int
+    stats: ScaffoldStats
+    snp_table: pd.DataFrame
+    cumulative_snv_table: pd.DataFrame
+    cumulative_scaffold_table: pd.DataFrame
+    linkage_table: pd.DataFrame
+    gene_results: Optional[tuple] = None
+
+
+def profile(bam_path: str, fasta_path: str, cfg: ProfileConfig,
+            output: Optional[str] = None) -> ProfileDir:
+    """Run the full profile operation; returns the profile directory."""
+    cfg.apply_database_mode()
+    out_loc = output or cfg.output
+    isdir = ProfileDir(out_loc)
+
+    log_checkpoint("main_profile", "filter_reads", "start")
+    registry = fasta_io.ScaffoldRegistry.from_fasta(
+        fasta_path, window_length=cfg.window_length,
+        use_full_header=cfg.use_full_fasta_header,
+        scaffolds_to_profile=fasta_io.load_scaff_list(
+            cfg.scaffolds_to_profile))
+
+    ref_seqs = {n: fasta_io.CODE2BASE[np.minimum(registry.codes[n], 4)]
+                for n in registry.names}
+    bam = decode_bam(bam_path, ref_seqs=ref_seqs, threads=cfg.processes,
+                     baq=False)
+    pairs = filter_reads(bam, cfg.filter, scaffolds=registry.names)
+
+    # store read-filtering results (reference: controller.py:260-322)
+    isdir.store("object_type", "profile", "value",
+                "Type of SNVprofile (profile or compare)")
+    isdir.store("bam_loc", bam_path, "value", "Location of .bam file")
+    isdir.store("mapping_info", pairs.mapping_info, "pandas",
+                "Report on reads")
+    isdir.store("mapping_info_values",
+                {k: str(v) for k, v in pairs.filter_values.items()},
+                "dictionary", "Filter values used for mapping_info")
+    isdir.store("fasta_loc", fasta_path, "value",
+                "Location of .fasta file used during profile")
+    isdir.store("scaffold2length", registry.s2l, "dictionary",
+                "Dictionary of scaffold 2 length")
+    rdic = pairs.rdic(skip_mm=cfg.skip_mm_profiling)
+    isdir.store("Rdic", rdic, "pickle" if cfg.skip_mm_profiling
+                else "dictionary",
+                "list of filtered read pairs" if cfg.skip_mm_profiling
+                else "Read pair -> mismatches")
+
+    total_pairs = int(pairs.mapping_info["filtered_pairs"].iloc[0])
+    if total_pairs == 0:
+        raise RuntimeError(
+            "No paired reads remain after filtering; consider "
+            "--pairing_filter or --use_full_fasta_header")
+    log_checkpoint("main_profile", "filter_reads", "end")
+
+    # scaffold selection (reference: profile/fasta.py:87-136)
+    log_checkpoint("main_profile", "profile_scaffolds", "start")
+    s2p = pairs.scaffold2pairs
+    keep = [n for n in registry.names
+            if s2p.get(n, 0) >= cfg.min_scaffold_reads]
+    if cfg.min_genome_coverage > 0:
+        keep = _filter_genome_coverage(keep, registry, s2p,
+                                       pairs.mean_pair_length, cfg)
+    keep.sort(key=lambda n: s2p.get(n, 0), reverse=True)
+
+    null_lut, freq_lut = make_luts(cfg.variant)
+
+    gene_data = None
+    if cfg.gene_file is not None:
+        from . import genes as genes_mod
+        gene_data = genes_mod.parse_genes(cfg.gene_file)
+
+    results: List[ScaffoldProfileResult] = []
+    for name in keep:
+        res = _profile_one_scaffold(bam, pairs, registry, name, cfg,
+                                    null_lut, freq_lut, gene_data)
+        if res is not None:
+            results.append(res)
+
+    _store_results(isdir, results, bam_path, cfg, gene_data)
+    log_checkpoint("main_profile", "profile_scaffolds", "end")
+
+    # outputs (reference: controller.py:352-360)
+    for t in ["SNVs", "scaffold_info", "linkage", "gene_info"]:
+        gen.generate(isdir, t, mm_level=cfg.mm_level,
+                     force_compress=cfg.force_compress)
+    gen.generate(isdir, "mapping_info", force_compress=cfg.force_compress)
+
+    if not cfg.skip_genome_wide:
+        log_checkpoint("main_profile", "genome_wide", "start")
+        from ..profile import genome as genome_mod
+        genome_mod.genome_wide(isdir, stb=cfg.stb, mm_level=cfg.mm_level,
+                               skip_mm_profiling=cfg.skip_mm_profiling)
+        log_checkpoint("main_profile", "genome_wide", "end")
+
+    if not cfg.skip_plot_generation:
+        try:
+            from ..plotting.controller import make_plots
+            make_plots(isdir, plots="a")
+        except Exception as e:  # plots must never fail a profile run
+            logging.error(f"Plotting failed: {e}")
+
+    return isdir
+
+
+def _profile_one_scaffold(bam, pairs, registry, name, cfg, null_lut,
+                          freq_lut, gene_data):
+    rid = bam.name_to_ref_id.get(name)
+    if rid is None:
+        return None
+    L = registry.length_of(name)
+    pileup = build_scaffold_pileup(bam, pairs, rid, L)
+    if pileup is None:
+        return None
+    if cfg.skip_mm_profiling:
+        # collapse the mm axis: every pair counts at level 0
+        pileup.counts = pileup.counts.sum(axis=0, keepdims=True)
+        pileup.mm_values = np.array([0])
+        pileup.ev_mm_idx = np.zeros_like(pileup.ev_mm_idx)
+
+    ref_codes = registry.codes[name]
+    stats = run_site_stats(pileup, ref_codes, null_lut, freq_lut,
+                           min_cov=cfg.variant.min_cov,
+                           rarefied_coverage=cfg.rarefied_coverage,
+                           seed=cfg.seed)
+    snp = tables.snp_table(stats, ref_codes)
+    csnv = tables.cumulative_snv_table(snp)
+    ctable = tables.coverage_table(stats, snp)
+    ws = linkage_mod.window_starts_for(L, cfg.window_length)
+    ld = linkage_mod.calculate_linkage(stats, ws, min_snp=int(cfg.min_snp),
+                                      seed=cfg.seed)
+
+    gene_results = None
+    if gene_data is not None and name in gene_data.scaff2genes:
+        from . import genes as genes_mod
+        gene_results = genes_mod.profile_genes_for_scaffold(
+            name, gene_data, stats, csnv)
+
+    return ScaffoldProfileResult(
+        name=name, length=L, stats=stats, snp_table=snp,
+        cumulative_snv_table=csnv, cumulative_scaffold_table=ctable,
+        linkage_table=ld, gene_results=gene_results)
+
+
+def _store_results(isdir: ProfileDir, results, bam_path, cfg, gene_data):
+    """reference: profile_utilities.gen_snv_profile (614-717)."""
+    def cat(dfs):
+        dfs = [d for d in dfs if d is not None and len(d)]
+        return (pd.concat(dfs).reset_index(drop=True) if dfs
+                else pd.DataFrame())
+
+    isdir.store("scaffold_list", [r.name for r in results], "list",
+                "1d list of scaffolds that were profiled")
+    isdir.store("window_table", pd.DataFrame(
+        {"scaffold": [r.name for r in results],
+         "end": [r.length for r in results],
+         "start": [0] * len(results)}), "pandas",
+        "Windows profiled over")
+    isdir.store("raw_linkage_table", cat([r.linkage_table for r in results]),
+                "pandas", "Raw table of linkage information")
+    raw_snp = cat([r.snp_table for r in results])
+    isdir.store("raw_snp_table",
+                raw_snp.drop(columns=[c for c in ("var_freq", "con_freq",
+                                                  "ref_freq")
+                                      if c in raw_snp.columns]),
+                "pandas", "Contains raw SNP information on a mm level")
+    isdir.store("cumulative_scaffold_table",
+                cat([r.cumulative_scaffold_table for r in results]),
+                "pandas", "Cumulative coverage on mm level")
+    isdir.store("cumulative_snv_table",
+                cat([r.cumulative_snv_table for r in results]),
+                "pandas", "Cumulative SNP on mm level")
+
+    covT = {r.name: tables.covT_view(r.stats) for r in results}
+    clonT = {r.name: tables.clonT_view(r.stats) for r in results}
+    clonTR = {r.name: tables.clonT_view(r.stats, rarefied=True)
+              for r in results}
+    isdir.store("covT", covT, "special",
+                "Scaffold -> mm -> position based coverage")
+    isdir.store("clonT", clonT, "special",
+                "Scaffold -> mm -> position based clonality")
+    isdir.store("clonTR", clonTR, "special",
+                "Scaffold -> mm -> rarefied position based clonality")
+
+    # linkage capture structure (reference stores it for pooling/debug)
+    s2m2r2s = {}
+    for r in results:
+        s2m2r2s[r.name] = _reads_to_snvs(r.stats)
+    isdir.store("scaffold_2_mm_2_read_2_snvs", s2m2r2s, "pickle",
+                "scaffold -> mm -> read -> SNVs (linkage capture)")
+
+    if gene_data is not None:
+        isdir.store("genes_fileloc", cfg.gene_file, "value",
+                    "Location of genes file that was used to call genes")
+        isdir.store("genes_table", gene_data.gene_table, "pandas",
+                    "Location of genes in the associated genes_file")
+        per_name = {0: "genes_coverage", 1: "genes_clonality",
+                    2: "genes_SNP_count", 3: "SNP_mutation_types"}
+        descr = {0: "Coverage of individual genes",
+                 1: "Clonality of individual genes",
+                 2: "SNP density and counts of individual genes",
+                 3: "The mutation types of SNPs"}
+        for i, attr in per_name.items():
+            isdir.store(attr, cat([r.gene_results[i] for r in results
+                                   if r.gene_results is not None]),
+                        "pandas", descr[i])
+
+
+def _reads_to_snvs(stats: ScaffoldStats) -> Dict[int, Dict[str, list]]:
+    """mm -> qname_id -> ['pos:base'] for captured linkage reads."""
+    from collections import defaultdict
+    pu = stats.pileup
+    keep = stats.any_snp[pu.ev_pos] & stats.bases_mask[pu.ev_base, pu.ev_pos]
+    pos = pu.ev_pos[keep]
+    base = pu.ev_base[keep]
+    mm = pu.mm_values[pu.ev_mm_idx[keep]]
+    qn = pu.ev_qname[keep]
+    out: Dict[int, Dict[str, list]] = defaultdict(lambda: defaultdict(list))
+    bchar = "ACTG"
+    for p, b, m, q in zip(pos.tolist(), base.tolist(), mm.tolist(),
+                          qn.tolist()):
+        out[m][q].append(f"{p}:{bchar[b]}")
+    return {m: dict(v) for m, v in out.items()}
+
+
+def _filter_genome_coverage(keep, registry, s2p, read_length, cfg):
+    """reference: profile/fasta.py:109-136."""
+    from ..io.stb import load_scaff2bin
+    stb = load_scaff2bin(cfg.stb)
+    genome_pairs: Dict[str, int] = {}
+    genome_len: Dict[str, int] = {}
+    for name in keep:
+        g = stb.get(name)
+        if g is None:
+            continue
+        genome_pairs[g] = genome_pairs.get(g, 0) + s2p.get(name, 0)
+        genome_len[g] = genome_len.get(g, 0) + registry.length_of(name)
+    bad_genomes = {g for g in genome_pairs
+                   if genome_pairs[g] * read_length / genome_len[g] <
+                   cfg.min_genome_coverage}
+    return [n for n in keep
+            if stb.get(n) is not None and stb[n] not in bad_genomes]

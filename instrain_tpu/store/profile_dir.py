@@ -1,0 +1,233 @@
+"""
+The profile directory object — on-disk format compatible with the
+reference's SNVprofile (inStrain/SNVprofile.py:29-150).
+
+Layout: <loc>/output, raw_data, log, figures; raw_data/attributes.tsv maps
+attribute name -> (value-or-file, type, description). Typed payloads:
+value, dictionary (json), list (txt), numpy (npz), pandas (csv.gz),
+pickle, special (hd5: one gzip'd dataset per "scaffold::mm" holding
+[values, index], selectively loadable per scaffold).
+
+This cross-compatibility is deliberate: profiles written here load through
+inStrain's Python API and vice versa (the golden test fixtures are read
+with this class).
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import logging
+import os
+import pickle
+from typing import Dict, List, Optional
+
+import h5py
+import numpy as np
+import pandas as pd
+
+from .. import __version__
+
+SPECIAL_SERIES = {"covT", "snpsCounted", "clonT", "clonTR"}
+
+
+class ProfileDir:
+    """A profile/compare results directory (reference: SNVprofile)."""
+
+    first_levels = ["output", "raw_data", "log", "figures"]
+
+    def __init__(self, location: str):
+        self.location = os.path.abspath(location)
+        self._make_structure()
+        self._init_attributes()
+
+    # ---------- public API ----------
+
+    def store(self, name: str, value, typ: str, description: str):
+        adb = self._get_attributes()
+        if typ == "value":
+            stored = value
+        elif typ == "dictionary":
+            stored = self._fileloc(name) + ".json"
+            with open(stored, "w") as f:
+                json.dump(value, f)
+        elif typ == "list":
+            stored = self._fileloc(name) + ".txt"
+            with open(stored, "w") as f:
+                for x in value:
+                    f.write(str(x) + "\n")
+        elif typ == "numpy":
+            stored = self._fileloc(name) + ".npz"
+            np.savez_compressed(stored, value)
+        elif typ == "pandas":
+            stored = self._fileloc(name) + ".csv.gz"
+            value.to_csv(stored)
+        elif typ == "pickle":
+            stored = self._fileloc(name) + ".pickle"
+            with open(stored, "wb") as f:
+                pickle.dump(value, f)
+        elif typ == "special":
+            stored = self._store_special(name, value)
+        else:
+            raise ValueError(f"unknown attribute type {typ}")
+
+        row = pd.DataFrame({"value": [stored], "type": [typ],
+                            "description": [description]}, index=[name])
+        if name in adb.index:
+            adb.at[name, "value"] = stored
+        else:
+            adb = pd.concat([adb, row])
+        self._store_attributes(adb)
+
+    def get(self, name: str, **kwargs):
+        adb = self._get_attributes()
+        if name not in adb.index:
+            return None
+        typ = adb.loc[name, "type"]
+        if typ == "value":
+            return adb.loc[name, "value"]
+        filename = os.path.join(self.get_location("raw_data"),
+                                os.path.basename(adb.loc[name, "value"]))
+        if typ == "dictionary":
+            with open(filename) as f:
+                return json.load(f)
+        if typ == "list":
+            with open(filename) as f:
+                return [l.strip() for l in f]
+        if typ == "numpy":
+            base = np.load(filename)
+            return base[base.files[0]]
+        if typ == "pandas":
+            return pd.read_csv(filename, index_col=0)
+        if typ == "pickle":
+            with open(filename, "rb") as f:
+                return pickle.load(f)
+        if typ == "special":
+            return self._load_special(filename, name, **kwargs)
+        raise ValueError(f"unknown attribute type {typ}")
+
+    def get_location(self, name: str) -> str:
+        loc = os.path.join(self.location, name)
+        if not os.path.exists(loc):
+            os.makedirs(loc)
+        return loc + "/"
+
+    def get_output_base(self) -> str:
+        return (self.get_location("output") +
+                os.path.basename(self.get("location")) + "_")
+
+    def keys(self) -> List[str]:
+        return list(self._get_attributes().index)
+
+    # ---------- special (hd5) ----------
+
+    def _store_special(self, name: str, obj) -> str:
+        fileloc = self._fileloc(name) + ".hd5"
+        if name in SPECIAL_SERIES:
+            with h5py.File(fileloc, "w") as f:
+                for scaff, mm2series in obj.items():
+                    for mm, series in mm2series.items():
+                        f.create_dataset(
+                            f"{scaff}::{mm}",
+                            data=np.array([series.values,
+                                           series.index.values]),
+                            compression="gzip")
+        elif name in ("scaff2pair2mm2SNPs", "scaff2pair2mm2cov"):
+            with h5py.File(fileloc, "w") as f:
+                for scaff, pair2mm2 in obj.items():
+                    for pair, mm2 in pair2mm2.items():
+                        for mm, vals in mm2.items():
+                            f.create_dataset(
+                                f"{scaff}::{pair}::{mm}",
+                                data=np.asarray(sorted(vals), dtype="float64"),
+                                compression="gzip")
+        else:
+            fileloc = self._fileloc(name) + ".pickle"
+            with open(fileloc, "wb") as f:
+                pickle.dump(obj, f)
+        return fileloc
+
+    def _load_special(self, location: str, name: str, **kwargs):
+        scaffolds = kwargs.get("scaffolds", [])
+        if name in SPECIAL_SERIES or (name not in
+                                      ("scaff2pair2mm2SNPs",
+                                       "scaff2pair2mm2cov")):
+            if location.endswith(".pickle"):
+                with open(location, "rb") as f:
+                    return pickle.load(f)
+            scaff2mm = {}
+            with h5py.File(location, "r") as f:
+                for key in f.keys():
+                    scaff, mm = key.split("::")
+                    if scaffolds != [] and scaff not in scaffolds:
+                        continue
+                    dset = list(f[key])
+                    scaff2mm.setdefault(scaff, {})[int(mm)] = pd.Series(
+                        data=dset[0], index=np.array(dset[1]).astype(int))
+            return scaff2mm
+        # pair-keyed variant
+        out: Dict = {}
+        with h5py.File(location, "r") as f:
+            for key in f.keys():
+                scaff, pair, mm = key.split("::")
+                if scaffolds != [] and scaff not in scaffolds:
+                    continue
+                out.setdefault(scaff, {}).setdefault(pair, {})[int(mm)] = \
+                    set(np.array(f[key]).astype(int))
+        return out
+
+    def covt_scaffolds(self):
+        """Scaffolds present in covT without loading it
+        (reference: _get_covt_keys, SNVprofile.py:636-648)."""
+        adb = self._get_attributes()
+        filename = os.path.join(self.get_location("raw_data"),
+                                os.path.basename(adb.loc["covT", "value"]))
+        scaffs = set()
+        with h5py.File(filename, "r") as f:
+            for key in f.keys():
+                scaffs.add(key.split("::")[0])
+        return scaffs
+
+    # ---------- internals ----------
+
+    def _make_structure(self):
+        for l in [""] + self.first_levels:
+            loc = os.path.join(self.location, l)
+            if not os.path.exists(loc):
+                os.makedirs(loc)
+
+    def _init_attributes(self):
+        aloc = os.path.join(self.location, "raw_data/attributes.tsv")
+        if not os.path.exists(aloc):
+            adb = pd.DataFrame({"value": [], "type": [], "description": []})
+            self._store_attributes(adb)
+            self.store("location", self.location, "value",
+                       "Location of SNVprofile object")
+            self.store("version", _format_version(), "value",
+                       "Version of inStrain")
+            with open(self._fileloc("_README.txt"), "w") as f:
+                f.write("Profile directory written by instrain_tpu "
+                        f"{__version__} (inStrain-compatible format).\n")
+        else:
+            if self.location != self.get("location"):
+                self.store("location", self.location, "value",
+                           "Location of SNVprofile object")
+
+    def _get_attributes(self) -> pd.DataFrame:
+        aloc = os.path.join(self.location, "raw_data/attributes.tsv")
+        return pd.read_csv(aloc, sep="\t", index_col="name")
+
+    def _store_attributes(self, adb: pd.DataFrame):
+        adb.to_csv(os.path.join(self.location, "raw_data/attributes.tsv"),
+                   sep="\t", index_label="name")
+
+    def _fileloc(self, name: str) -> str:
+        return os.path.join(self.get_location("raw_data"), name)
+
+
+def _format_version() -> str:
+    """Versions the profile as the capability-matched inStrain version so
+    reference tooling accepts the directory (same_versions checks
+    major.minor; SNVprofile.py:863-873)."""
+    from .. import __capability_version__
+    return __capability_version__
