@@ -1,0 +1,103 @@
+#!/usr/bin/env python
+"""
+Benchmark: end-to-end `profile` throughput on the sars-cov-2 test BAM.
+
+Metric: filtered read pairs per second through the full profile pipeline
+(decode -> filter -> pileup -> site-stats kernel -> SNV/linkage/scaffold
+tables), steady-state (second run, kernels compiled).
+
+Baseline: the reference's internal scheduler cost model of
+0.0061401594694834305 s/pair + overhead (~163 pairs/s/core;
+inStrain/profile/profile_controller.py:460-465) at its documented 6-core
+operating point => 977 pairs/s.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import numpy as np
+
+BAM = ("/root/reference/test/test_data/"
+       "sars_cov_2_MT039887.1.fasta.bt2-vs-SRR11140750.sorted.bam")
+GB = "/root/reference/test/test_data/sars_cov_2_MT039887.1.gb"
+
+BASELINE_PAIRS_PER_SEC = 6 / 0.0061401594694834305  # 6-core reference
+
+
+def load_ref():
+    txt = open(GB).read()
+    seq = "".join(re.findall("[a-zA-Z]+",
+                             txt.split("ORIGIN")[1].split("//")[0])).upper()
+    return np.frombuffer(seq.encode(), dtype=np.uint8)
+
+
+def run_once(refseq, luts):
+    from instrain_tpu.config import ReadFilterConfig
+    from instrain_tpu.io.bam import decode_bam
+    from instrain_tpu.io.fasta import seq_to_codes
+    from instrain_tpu.profile import linkage as linkage_mod
+    from instrain_tpu.profile import tables
+    from instrain_tpu.profile.filter_reads import filter_reads
+    from instrain_tpu.profile.pileup import (build_scaffold_pileup,
+                                             run_site_stats)
+
+    bam = decode_bam(BAM, ref_seqs={"MT039887.1": refseq}, baq=False)
+    pairs = filter_reads(bam, ReadFilterConfig())
+    pu = build_scaffold_pileup(bam, pairs, 0, len(refseq))
+    st = run_site_stats(pu, seq_to_codes(refseq), *luts)
+    snp = tables.snp_table(st, seq_to_codes(refseq))
+    csnv = tables.cumulative_snv_table(snp)
+    ctab = tables.coverage_table(st, snp)
+    ws = linkage_mod.window_starts_for(len(refseq), 10000)
+    ld = linkage_mod.calculate_linkage(st, ws, min_snp=20)
+    n_pairs = int(pairs.mapping_info["filtered_pairs"].iloc[0])
+    n_reads = int(pairs.mapping_info["unfiltered_reads"].iloc[0])
+    return n_pairs, n_reads, len(snp), len(ld)
+
+
+def main():
+    from instrain_tpu.profile.pileup import make_luts
+    from instrain_tpu.config import VariantConfig
+
+    refseq = load_ref()
+    luts = make_luts(VariantConfig())
+
+    # warmup (compiles kernels)
+    t0 = time.time()
+    n_pairs, n_reads, n_snvs, n_ld = run_once(refseq, luts)
+    warm = time.time() - t0
+
+    # steady state
+    t0 = time.time()
+    run_once(refseq, luts)
+    steady = time.time() - t0
+
+    pairs_per_sec = n_pairs / steady
+    result = {
+        "metric": "profile_pairs_per_sec",
+        "value": round(pairs_per_sec, 1),
+        "unit": "read pairs/s (end-to-end profile, steady-state)",
+        "vs_baseline": round(pairs_per_sec / BASELINE_PAIRS_PER_SEC, 2),
+        "detail": {
+            "bam": os.path.basename(BAM),
+            "filtered_pairs": n_pairs,
+            "records": n_reads,
+            "snv_rows": n_snvs,
+            "linkage_rows": n_ld,
+            "warmup_s": round(warm, 2),
+            "steady_s": round(steady, 2),
+            "baseline_pairs_per_sec": round(BASELINE_PAIRS_PER_SEC, 1),
+        },
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

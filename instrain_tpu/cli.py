@@ -1,0 +1,342 @@
+"""
+Command-line interface — mirrors the reference's 10 subcommands
+(reference: inStrain/argumentParser.py:55-398):
+profile, compare, parse_annotations, profile_genes, genome_wide, plot,
+quick_profile, filter_reads, other, check_deps.
+"""
+
+from __future__ import annotations
+
+import argparse
+import logging
+import os
+import sys
+
+from . import __version__
+from .config import CompareConfig, ProfileConfig
+
+
+def build_parser() -> argparse.ArgumentParser:
+    parser = argparse.ArgumentParser(prog="instrain_tpu")
+    sub = parser.add_subparsers(dest="operation")
+
+    def add_system(p):
+        g = p.add_argument_group("SYSTEM PARAMETERS")
+        g.add_argument("-p", "--processes", default=6, type=int)
+        g.add_argument("-d", "--debug", action="store_true", default=False)
+        g.add_argument("--version", action="version",
+                       version=f"instrain_tpu version {__version__}")
+
+    def add_readfilter(p):
+        g = p.add_argument_group("READ FILTERING OPTIONS")
+        g.add_argument("-l", "--min_read_ani", default=0.95, type=float)
+        g.add_argument("--min_mapq", default=-1, type=int)
+        g.add_argument("--max_insert_relative", default=3, type=float)
+        g.add_argument("--min_insert", default=50, type=int)
+        g.add_argument("--pairing_filter", default="paired_only",
+                       choices=["paired_only", "non_discordant",
+                                "all_reads"])
+        g.add_argument("--priority_reads", default=None)
+        g.add_argument("--maximum_reads", default=None, type=int)
+        g.add_argument("--detailed_mapping_info", action="store_true",
+                       default=False)
+
+    def add_variant(p):
+        g = p.add_argument_group("VARIANT CALLING OPTIONS")
+        g.add_argument("-c", "--min_cov", default=5, type=int)
+        g.add_argument("-f", "--min_freq", default=0.05, type=float)
+        g.add_argument("-fdr", "--fdr", default=1e-6, type=float)
+        g.add_argument("--null_model", default="analytic",
+                       help="'analytic' (exact binomial) or the path to an "
+                            "inStrain-format NullModel.txt")
+
+    def add_genes(p):
+        p.add_argument("-g", "--gene_file", default=None)
+
+    def add_stb(p):
+        p.add_argument("-s", "--stb", nargs="*", default=[])
+
+    def add_mm(p):
+        p.add_argument("--mm_level", action="store_true", default=False)
+        p.add_argument("--skip_mm_profiling", action="store_true",
+                       default=False)
+
+    # ---- profile ----
+    p = sub.add_parser("profile")
+    p.add_argument("bam")
+    p.add_argument("fasta")
+    p.add_argument("-o", "--output", default="instrain")
+    p.add_argument("--use_full_fasta_header", action="store_true")
+    p.add_argument("--force_compress", action="store_true")
+    add_system(p)
+    add_readfilter(p)
+    add_variant(p)
+    add_genes(p)
+    add_stb(p)
+    add_mm(p)
+    g = p.add_argument_group("PROFILE OPTIONS")
+    g.add_argument("--database_mode", action="store_true")
+    g.add_argument("--min_scaffold_reads", default=1, type=int)
+    g.add_argument("--min_genome_coverage", default=0, type=float)
+    g.add_argument("--min_snp", default=20, type=int)
+    g.add_argument("--store_everything", action="store_true")
+    g.add_argument("--scaffolds_to_profile", default=None)
+    g.add_argument("--rarefied_coverage", default=50, type=int)
+    g.add_argument("--window_length", default=10000, type=int)
+    g.add_argument("--skip_genome_wide", action="store_true")
+    g.add_argument("--skip_plot_generation", action="store_true")
+
+    # ---- compare ----
+    p = sub.add_parser("compare")
+    p.add_argument("-i", "--input", nargs="*", required=True)
+    p.add_argument("-o", "--output", default="instrainComparer")
+    add_system(p)
+    add_stb(p)
+    add_variant(p)
+    g = p.add_argument_group("OTHER OPTIONS")
+    g.add_argument("--database_mode", action="store_true")
+    g.add_argument("--breadth", default=0.5, type=float)
+    g.add_argument("-sc", "--scaffolds", default=None)
+    g.add_argument("--genome", default=None)
+    g.add_argument("--store_coverage_overlap", action="store_true")
+    g.add_argument("--store_mismatch_locations", action="store_true")
+    g.add_argument("--include_self_comparisons", action="store_true")
+    g.add_argument("--skip_plot_generation", action="store_true")
+    g.add_argument("--group_length", default=10000000, type=int)
+    g.add_argument("--force_compress", action="store_true")
+    g.add_argument("-ani", "--ani_threshold", default=0.99999, type=float)
+    g.add_argument("-cov", "--coverage_treshold", default=0.1, type=float)
+    g.add_argument("--clusterAlg", default="average",
+                   choices=["single", "complete", "average", "weighted",
+                            "centroid", "median", "ward"])
+    g.add_argument("-bams", "--bams", nargs="*", default=[])
+    g.add_argument("--skip_popANI", action="store_true")
+
+    # ---- parse_annotations ----
+    p = sub.add_parser("parse_annotations")
+    p.add_argument("-i", "--input", nargs="*", required=True)
+    p.add_argument("-a", "--annotations", nargs="*", required=True)
+    p.add_argument("-o", "--output", default="annotation_output")
+    add_system(p)
+    p.add_argument("-b", "--min_genome_breadth", default=0.5, type=float)
+    p.add_argument("-g", "--min_gene_breadth", default=0.8, type=float)
+    p.add_argument("--store_rawdata", action="store_true")
+
+    # ---- profile_genes ----
+    p = sub.add_parser("profile_genes")
+    p.add_argument("-i", "--IS", required=True)
+    p.add_argument("-g", "--gene_file", default=None)
+    p.add_argument("--store_everything", action="store_true")
+    add_system(p)
+
+    # ---- genome_wide ----
+    p = sub.add_parser("genome_wide")
+    p.add_argument("-i", "--IS", required=True)
+    add_stb(p)
+    add_mm(p)
+    add_system(p)
+
+    # ---- plot ----
+    p = sub.add_parser("plot")
+    p.add_argument("-i", "--IS", required=True)
+    p.add_argument("-pl", "--plots", nargs="*", default="a")
+    p.add_argument("-mb", "--minimum_breadth", default=0.5, type=float)
+    p.add_argument("-g", "--genomes", nargs="*", default=None)
+    add_system(p)
+
+    # ---- quick_profile ----
+    p = sub.add_parser("quick_profile")
+    p.add_argument("bam")
+    p.add_argument("fasta")
+    add_stb(p)
+    p.add_argument("-o", "--output", default="QuickProfile")
+    p.add_argument("--breadth_cutoff", default=0.5, type=float)
+    p.add_argument("--stringent_breadth_cutoff", default=0.0, type=float)
+    add_system(p)
+
+    # ---- filter_reads ----
+    p = sub.add_parser("filter_reads")
+    p.add_argument("bam")
+    p.add_argument("fasta")
+    p.add_argument("-o", "--output", default="filter_reads_output")
+    add_system(p)
+    add_readfilter(p)
+
+    # ---- other ----
+    p = sub.add_parser("other")
+    p.add_argument("--old_IS", default=None)
+    p.add_argument("--run_statistics", default=None)
+    add_system(p)
+
+    # ---- check_deps ----
+    sub.add_parser("check_deps")
+
+    return parser
+
+
+def profile_config_from_args(args) -> ProfileConfig:
+    cfg = ProfileConfig(
+        output=args.output, use_full_fasta_header=args.use_full_fasta_header,
+        force_compress=args.force_compress, processes=args.processes,
+        database_mode=args.database_mode,
+        min_scaffold_reads=args.min_scaffold_reads,
+        min_genome_coverage=args.min_genome_coverage,
+        min_snp=args.min_snp, store_everything=args.store_everything,
+        scaffolds_to_profile=args.scaffolds_to_profile,
+        rarefied_coverage=args.rarefied_coverage,
+        window_length=args.window_length,
+        skip_genome_wide=args.skip_genome_wide,
+        skip_plot_generation=args.skip_plot_generation,
+        skip_mm_profiling=args.skip_mm_profiling, mm_level=args.mm_level,
+        gene_file=args.gene_file, stb=args.stb,
+        detailed_mapping_info=args.detailed_mapping_info)
+    cfg.filter.min_read_ani = args.min_read_ani
+    cfg.filter.min_mapq = args.min_mapq
+    cfg.filter.max_insert_relative = args.max_insert_relative
+    cfg.filter.min_insert = args.min_insert
+    cfg.filter.pairing_filter = args.pairing_filter
+    cfg.filter.priority_reads = args.priority_reads
+    cfg.filter.maximum_reads = args.maximum_reads
+    cfg.variant.min_cov = args.min_cov
+    cfg.variant.min_freq = args.min_freq
+    cfg.variant.fdr = args.fdr if args.fdr != 0 else 1e-6
+    cfg.variant.null_model = args.null_model
+    return cfg
+
+
+def main(argv=None):
+    args = build_parser().parse_args(argv)
+    op = args.operation
+    if op is None:
+        build_parser().print_help()
+        return 0
+
+    from .obs.logging import setup_logger
+    from .store.profile_dir import ProfileDir
+
+    if op == "profile":
+        from .profile.pipeline import profile
+        output = args.output
+        if output == "instrain":
+            output = args.fasta.split(".")[0].split("/")[-1]
+        isdir = ProfileDir(output)
+        setup_logger(isdir.get_location("log") + "log.log")
+        cfg = profile_config_from_args(args)
+        cfg.output = output
+        profile(args.bam, args.fasta, cfg)
+
+    elif op == "compare":
+        from .compare.pipeline import compare
+        cfg = CompareConfig(
+            output=args.output, processes=args.processes, stb=args.stb,
+            min_cov=args.min_cov, min_freq=args.min_freq, fdr=args.fdr,
+            null_model=args.null_model, database_mode=args.database_mode,
+            breadth=args.breadth, scaffolds=args.scaffolds,
+            genome=args.genome,
+            store_coverage_overlap=args.store_coverage_overlap,
+            store_mismatch_locations=args.store_mismatch_locations,
+            include_self_comparisons=args.include_self_comparisons,
+            skip_plot_generation=args.skip_plot_generation,
+            group_length=args.group_length,
+            force_compress=args.force_compress,
+            ani_threshold=args.ani_threshold,
+            coverage_treshold=args.coverage_treshold,
+            clusterAlg=args.clusterAlg, bams=args.bams or [],
+            skip_popANI=args.skip_popANI)
+        out = ProfileDir(args.output)
+        setup_logger(out.get_location("log") + "log.log")
+        compare(args.input, cfg)
+
+    elif op == "parse_annotations":
+        from .compare.annotations import parse_annotations
+        parse_annotations(args.input, args.annotations, args.output,
+                          min_genome_breadth=args.min_genome_breadth,
+                          min_gene_breadth=args.min_gene_breadth,
+                          store_rawdata=args.store_rawdata)
+
+    elif op == "profile_genes":
+        from .profile.genes import profile_genes_from_store
+        isdir = ProfileDir(args.IS)
+        setup_logger(isdir.get_location("log") + "log.log")
+        profile_genes_from_store(isdir, args.gene_file,
+                                 store_everything=args.store_everything)
+
+    elif op == "genome_wide":
+        from .profile.genome import genome_wide
+        isdir = ProfileDir(args.IS)
+        setup_logger(isdir.get_location("log") + "log.log")
+        genome_wide(isdir, stb=args.stb, mm_level=args.mm_level,
+                    skip_mm_profiling=args.skip_mm_profiling)
+
+    elif op == "plot":
+        from .plotting.controller import make_plots
+        isdir = ProfileDir(args.IS)
+        setup_logger(isdir.get_location("log") + "log.log")
+        make_plots(isdir, plots=args.plots)
+
+    elif op == "quick_profile":
+        from .profile.quick_profile import quick_profile
+        quick_profile(args.bam, args.fasta, stb=args.stb,
+                      output=args.output,
+                      breadth_cutoff=args.breadth_cutoff,
+                      stringent_breadth_cutoff=args.stringent_breadth_cutoff,
+                      threads=args.processes)
+
+    elif op == "filter_reads":
+        from .config import ReadFilterConfig
+        from .io import fasta as fasta_io
+        from .io.bam import decode_bam
+        from .profile.filter_reads import filter_reads, write_mapping_info
+        os.makedirs(args.output, exist_ok=True)
+        seqs = fasta_io.read_fasta(args.fasta)
+        bam = decode_bam(args.bam,
+                         ref_seqs=seqs, baq=False)
+        fcfg = ReadFilterConfig(
+            min_read_ani=args.min_read_ani, min_mapq=args.min_mapq,
+            max_insert_relative=args.max_insert_relative,
+            min_insert=args.min_insert, pairing_filter=args.pairing_filter,
+            priority_reads=args.priority_reads)
+        ps = filter_reads(bam, fcfg, scaffolds=list(seqs.keys()))
+        write_mapping_info(ps.mapping_info,
+                           os.path.join(args.output, "mapping_info.csv"),
+                           ps.filter_values)
+
+    elif op == "other":
+        if args.run_statistics:
+            from .obs.logging import report_run_stats
+            logloc = args.run_statistics
+            if os.path.isdir(logloc):
+                logloc = os.path.join(logloc, "log", "log.log")
+            report_run_stats(logloc)
+        if args.old_IS:
+            print("Converting v0.x profile objects is not supported; "
+                  "re-profile with instrain_tpu instead.")
+
+    elif op == "check_deps":
+        print(gen_dependency_report())
+
+    return 0
+
+
+def gen_dependency_report() -> str:
+    """reference: utils.gen_dependency_report (utils.py:35-94)."""
+    lines = [f"instrain_tpu version {__version__}"]
+    for mod in ["jax", "numpy", "pandas", "scipy", "h5py", "matplotlib"]:
+        try:
+            m = __import__(mod)
+            lines.append(f"{mod:12s} OK (version {getattr(m, '__version__', '?')})")
+        except ImportError:
+            lines.append(f"{mod:12s} MISSING")
+    lib = os.path.join(os.path.dirname(__file__), "io", "libinstrain_io.so")
+    lines.append(f"native decoder {'OK' if os.path.exists(lib) else 'MISSING'}"
+                 f" ({lib})")
+    try:
+        import jax
+        lines.append(f"jax devices: {jax.devices()}")
+    except Exception as e:
+        lines.append(f"jax devices unavailable: {e}")
+    return "\n".join(lines)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

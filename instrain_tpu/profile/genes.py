@@ -437,3 +437,136 @@ def calc_gene_snp_counts(gdb: pd.DataFrame, ldb: pd.DataFrame,
         for nC, nS, sC, sS in zip(GGdb["SNV_N_count"], GGdb["N_sites"],
                                   GGdb["SNV_S_count"], GGdb["S_sites"])]
     return GGdb
+
+
+# ---------------- standalone operation (from a stored profile) ----------------
+
+def _series_gene_slices(series: pd.Series, starts, ends):
+    """sum and count of series values within [start, end] per gene."""
+    pos = series.index.values
+    vals = series.values.astype(np.float64)
+    csum = np.concatenate([[0], np.cumsum(vals)])
+    lo = np.searchsorted(pos, starts, side="left")
+    hi = np.searchsorted(pos, ends + 1, side="left")
+    return csum[hi] - csum[lo], hi - lo
+
+
+def calc_gene_coverage_series(gdb: pd.DataFrame, covT) -> pd.DataFrame:
+    """calc_gene_coverage working on stored mm->Series coverage
+    (reference: GeneProfile.py:352-394)."""
+    starts = gdb["start"].values.astype(int)
+    ends = gdb["end"].values.astype(int)
+    lens = np.abs(gdb["end"].values - gdb["start"].values) + 1
+    table = defaultdict(list)
+    counts = pd.Series(dtype="float64")
+    for mm in sorted(int(m) for m in covT.keys()):
+        counts = counts.add(covT[mm], fill_value=0)
+        if len(counts) == 0:
+            continue
+        sums, ns = _series_gene_slices(counts, starts, ends)
+        for g, s, n, ln in zip(gdb["gene"], sums, ns, lens):
+            table["gene"].append(g)
+            table["coverage"].append(s / ln)
+            table["breadth"].append(n / ln)
+            table["mm"].append(mm)
+    return pd.DataFrame(table)
+
+
+def calc_gene_clonality_series(gdb: pd.DataFrame, clonT) -> pd.DataFrame:
+    """calc_gene_clonality on stored mm->Series clonality
+    (reference: GeneProfile.py:373-422, union-of-latest semantics)."""
+    starts = gdb["start"].values.astype(int)
+    ends = gdb["end"].values.astype(int)
+    lens = np.abs(gdb["end"].values - gdb["start"].values) + 1
+    table = defaultdict(list)
+    p2c: Dict[int, float] = {}
+    for mm in sorted(int(m) for m in clonT.keys()):
+        for pos, val in clonT[mm].items():
+            p2c[pos] = val
+        if not p2c:
+            continue
+        combined = pd.Series(p2c).sort_index()
+        sums, ns = _series_gene_slices(combined, starts, ends)
+        for g, s, n, ln in zip(gdb["gene"], sums, ns, lens):
+            table["gene"].append(g)
+            table["nucl_diversity"].append(
+                1 - (s / n) if n > 0 else np.nan)
+            table["breadth_minCov"].append(n / ln)
+            table["mm"].append(mm)
+    return pd.DataFrame(table)
+
+
+def profile_genes_from_store(isdir, gene_file: str,
+                             store_everything: bool = False):
+    """
+    The standalone `profile_genes` operation: load covT/clonT/SNV table
+    from a stored profile and compute all gene-level tables
+    (reference: GeneProfile.Controller.main, 37-69).
+    """
+    from ..store import generate as gen_mod
+
+    gene_data = parse_genes(gene_file)
+    scaffolds_with_genes = set(gene_data.scaff2genes.keys())
+    scaffolds_in = set(isdir.covt_scaffolds())
+    todo = sorted(scaffolds_with_genes & scaffolds_in)
+    logging.info(f"{len(scaffolds_with_genes)} scaffolds with genes; "
+                 f"{len(scaffolds_in)} in profile; {len(todo)} to profile")
+
+    snv = isdir.get("cumulative_snv_table")
+    if snv is None or len(snv) == 0:
+        snv = pd.DataFrame(columns=["scaffold"])
+    else:
+        snv = snv.rename(columns={
+            "conBase": "con_base", "refBase": "ref_base",
+            "varBase": "var_base", "baseCoverage": "position_coverage"})
+        snv = snv.sort_values("mm")
+    covTs = isdir.get("covT", scaffolds=todo)
+    clonTs = isdir.get("clonT", scaffolds=todo)
+
+    results = []
+    for scaffold in todo:
+        try:
+            gdb = gene_data.scaff2genes[scaffold]
+            cdb = (calc_gene_coverage_series(gdb, covTs[scaffold])
+                   if scaffold in covTs else pd.DataFrame())
+            cldb = (calc_gene_clonality_series(gdb, clonTs[scaffold])
+                    if scaffold in clonTs else pd.DataFrame())
+            ldb_in = snv[snv["scaffold"] == scaffold]
+            sdb = characterize_snps_wrapper(ldb_in, gdb,
+                                            gene_data.gene2sequence)
+            ldb = calc_gene_snp_counts(gdb, ldb_in, sdb,
+                                       gene_data.gene2sequence)
+            if len(sdb):
+                sdb = sdb.copy()
+                sdb["scaffold"] = scaffold
+            results.append((cdb, cldb, ldb, sdb))
+        except Exception as e:
+            from ..obs.logging import log_failure
+            log_failure("GeneException", scaffold, str(e))
+
+    def cat(i):
+        dfs = [r[i] for r in results if len(r[i])]
+        return pd.concat(dfs).reset_index(drop=True) if dfs \
+            else pd.DataFrame()
+
+    isdir.store("genes_fileloc", gene_file, "value",
+                "Location of genes file that was used to call genes")
+    isdir.store("genes_table", gene_data.gene_table, "pandas",
+                "Location of genes in the associated genes_file")
+    isdir.store("genes_coverage", cat(0), "pandas",
+                "Coverage of individual genes")
+    isdir.store("genes_clonality", cat(1), "pandas",
+                "Clonality of individual genes")
+    isdir.store("genes_SNP_count", cat(2), "pandas",
+                "SNP density and counts of individual genes")
+    isdir.store("SNP_mutation_types", cat(3), "pandas",
+                "The mutation types of SNPs")
+    if store_everything:
+        isdir.store("scaff2gene2sequence",
+                    {s: {g: gene_data.gene2sequence[g]
+                         for g in df["gene"]}
+                     for s, df in gene_data.scaff2genes.items()},
+                    "pickle", "scaffold -> gene -> sequence")
+    gen_mod.generate(isdir, "gene_info")
+    gen_mod.generate(isdir, "SNVs")
+    return isdir

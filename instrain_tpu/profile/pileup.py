@@ -117,16 +117,48 @@ class ScaffoldStats:
         return self.pileup.mm_values
 
 
+def _bucket(n: int, step: int) -> int:
+    return -(-n // step) * step
+
+
 def run_site_stats(pileup: ScaffoldPileup, ref_codes: np.ndarray,
                    null_lut: np.ndarray, freq_lut: np.ndarray,
                    min_cov: int = 5, rarefied_coverage: int = 50,
-                   seed: int = 42) -> ScaffoldStats:
-    """Run the site-stats kernel for one scaffold (explicit ref codes)."""
+                   seed: int = 42, pad_shapes: bool = True) -> ScaffoldStats:
+    """
+    Run the site-stats kernel for one scaffold.
+
+    Shapes are bucketed (mm axis to multiples of 8, position axis to
+    multiples of 4096) so scaffolds share compiled kernels on TPU; padding
+    cells carry zero counts / ref code 4 and are masked naturally, and all
+    outputs are sliced back to true dimensions.
+    """
+    counts = pileup.counts
+    M, _, L = counts.shape
+    if pad_shapes:
+        Mp, Lp = max(_bucket(M, 8), 8), max(_bucket(L, 4096), 4096)
+        if (Mp, Lp) != (M, L):
+            cp = np.zeros((Mp, 4, Lp), counts.dtype)
+            cp[:M, :, :L] = counts
+            rp = np.full(Lp, 4, dtype=ref_codes.dtype)
+            rp[:L] = ref_codes
+            counts, ref_codes = cp, rp
     key = jax.random.fold_in(jax.random.PRNGKey(seed), pileup.rid)
-    out = site_stats(pileup.counts, ref_codes, null_lut, freq_lut, key,
+    out = site_stats(counts, ref_codes, null_lut, freq_lut, key,
                      min_cov=min_cov, min_covR=rarefied_coverage,
                      rarefied_draws=rarefied_coverage)
-    arrays = {k: np.asarray(v) for k, v in out.items()}
+    arrays = {}
+    for k, v in out.items():
+        v = np.asarray(v)
+        if k == "bases_mask":                    # [4, L]
+            v = v[:, :L]
+        elif v.ndim == 3:                        # [M, 4, L]
+            v = v[:M, :, :L]
+        elif v.ndim == 2:                        # [M, L]
+            v = v[:M, :L]
+        elif v.ndim == 1:                        # [L]
+            v = v[:L]
+        arrays[k] = v
     return ScaffoldStats(pileup=pileup, arrays=arrays)
 
 
