@@ -42,21 +42,24 @@ def run_once(refseq, luts):
     from instrain_tpu.config import ReadFilterConfig
     from instrain_tpu.io.bam import decode_bam
     from instrain_tpu.io.fasta import seq_to_codes
+    from instrain_tpu.profile import compact
     from instrain_tpu.profile import linkage as linkage_mod
     from instrain_tpu.profile import tables
     from instrain_tpu.profile.filter_reads import filter_reads
-    from instrain_tpu.profile.pileup import (build_scaffold_pileup,
-                                             run_site_stats)
+    from instrain_tpu.profile.pileup import build_scaffold_pileup
 
     bam = decode_bam(BAM, ref_seqs={"MT039887.1": refseq}, baq=False)
     pairs = filter_reads(bam, ReadFilterConfig())
     pu = build_scaffold_pileup(bam, pairs, 0, len(refseq))
-    st = run_site_stats(pu, seq_to_codes(refseq), *luts)
-    snp = tables.snp_table(st, seq_to_codes(refseq))
+    rc = seq_to_codes(refseq)
+    # compact path: stats + table inputs computed on device, KB-scale
+    # device->host transfers
+    cs = compact.run_site_stats_compact(pu, rc, *luts)
+    snp = compact.snp_table_compact(cs, rc)
     csnv = tables.cumulative_snv_table(snp)
-    ctab = tables.coverage_table(st, snp)
+    ctab = compact.coverage_table_compact(cs)
     ws = linkage_mod.window_starts_for(len(refseq), 10000)
-    ld = linkage_mod.calculate_linkage(st, ws, min_snp=20)
+    ld = linkage_mod.calculate_linkage(cs, ws, min_snp=20)
     n_pairs = int(pairs.mapping_info["filtered_pairs"].iloc[0])
     n_reads = int(pairs.mapping_info["unfiltered_reads"].iloc[0])
     return n_pairs, n_reads, len(snp), len(ld)

@@ -21,3 +21,10 @@ __version__ = "0.1.0"
 # Version of the reference whose capabilities / output schema we match
 # (inStrain/_version.py in the reference tree).
 __capability_version__ = "1.9.1"
+
+# 64-bit types: the compact device kernels accumulate integer/float sums
+# exactly (int64/float64) so host-side statistics match numpy float64
+# semantics; dtypes in hot paths remain explicitly 32-bit.
+import jax as _jax
+
+_jax.config.update("jax_enable_x64", True)

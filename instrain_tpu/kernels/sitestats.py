@@ -189,3 +189,155 @@ def site_stats(counts, ref_codes, null_lut, freq_lut, rng_key,
         cryptic=cryptic, any_snp=any_snp, bases_mask=bases_mask,
         ref_count=ref_count,
     )
+
+
+# ---------------------------------------------------------------------------
+# Compact variant: computes table-ready, small outputs ON DEVICE so that
+# device->host transfers stay tiny (HBM->host links — and the axon relay in
+# this environment — are orders of magnitude slower than HBM). The dense
+# per-position arrays never leave the device; instead we emit:
+#   - fixed-capacity compacted SNP rows (position-major order)
+#   - per-mm scaffold aggregates (every quantity make_coverage_table needs)
+#   - fixed-capacity per-SNV-position cumulative count profiles (linkage)
+#   - small position-level bitmasks (cryptic / any_snp / bases_mask)
+# ---------------------------------------------------------------------------
+
+
+def _ffill_scan(vals, set_mask, fill):
+    """out[m] = vals at the highest m' <= m where set (else fill)."""
+    def step(carry, x):
+        v, s = x
+        new = jnp.where(s, v, carry)
+        return new, new
+    init = jnp.full_like(vals[0], fill)
+    _, out = jax.lax.scan(step, init, (vals, set_mask))
+    return out
+
+
+def _masked_median(sorted_vals, count):
+    """Median of the first `count` entries of an ascending-sorted row
+    (matching np.median: mean of the two middle values)."""
+    n = sorted_vals.shape[-1]
+    c = jnp.maximum(count, 1)
+    i1 = jnp.clip((c - 1) // 2, 0, n - 1)
+    i2 = jnp.clip(c // 2, 0, n - 1)
+    v1 = jnp.take_along_axis(sorted_vals, i1[:, None], axis=-1)[:, 0]
+    v2 = jnp.take_along_axis(sorted_vals, i2[:, None], axis=-1)[:, 0]
+    med = (v1 + v2) / 2.0
+    return jnp.where(count > 0, med, jnp.nan)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("min_cov", "min_covR", "rarefied_draws",
+                     "snp_capacity", "pos_capacity", "true_len"))
+def site_stats_compact(counts, ref_codes, null_lut, freq_lut, rng_key,
+                       min_cov: int = 5, min_covR: int = 50,
+                       rarefied_draws: int = 50,
+                       snp_capacity: int = 16384,
+                       pos_capacity: int = 8192,
+                       true_len: int = 0):
+    """Fused site stats with on-device compaction (see block comment)."""
+    full = site_stats(counts, ref_codes, null_lut, freq_lut, rng_key,
+                      min_cov=min_cov, min_covR=min_covR,
+                      rarefied_draws=rarefied_draws)
+    M, B, L = counts.shape
+    Lt = true_len or L   # true scaffold length (rest is padding)
+
+    row = full["row"]
+    cum = full["cum"]
+    total = full["total"]
+    clon = full["clon"]
+    clonR = full["clonR"]
+    present = full["present"]
+
+    # ---- compacted SNP rows, position-major ----
+    flat_pm = row.T.reshape(-1)                       # [L*M], pos-major
+    (ridx,) = jnp.nonzero(flat_pm, size=snp_capacity, fill_value=-1)
+    valid_rows = ridx >= 0
+    safe = jnp.maximum(ridx, 0)
+    r_pos = safe // M
+    r_mm = safe % M
+    rows = dict(
+        valid=valid_rows,
+        pos=jnp.where(valid_rows, r_pos, -1),
+        mm_idx=jnp.where(valid_rows, r_mm, -1),
+        A=cum[r_mm, 0, r_pos], C=cum[r_mm, 1, r_pos],
+        T=cum[r_mm, 2, r_pos], G=cum[r_mm, 3, r_pos],
+        total=total[r_mm, r_pos],
+        con=full["con"][r_mm, r_pos], var=full["var"][r_mm, r_pos],
+        morphia=full["morphia"][r_mm, r_pos],
+        cls=full["cls"][r_mm, r_pos],
+        cryptic=full["cryptic"][r_pos],
+        n_rows=row.sum(),
+    )
+
+    # ---- per-mm scaffold aggregates ----
+    pos_ok = (jax.lax.broadcasted_iota(jnp.int32, (1, L), 1) < Lt)
+    # exact integer accumulation (requires jax_enable_x64, set at package
+    # import) so host-side mean/std/SEM match float64 numpy semantics
+    toti = jnp.where(pos_ok, total, 0).astype(jnp.int64)
+    cov_sum = toti.sum(axis=1)
+    cov_sumsq = (toti * toti).sum(axis=1)
+    nonzeros = ((total > 0) & pos_ok).sum(axis=1)
+    # median over the true length: sort with padding pushed to +inf, then
+    # median of first Lt entries
+    tot_sorted = jnp.sort(jnp.where(pos_ok, total.astype(jnp.float32),
+                                    jnp.inf), axis=1)
+    cov_median = _masked_median(tot_sorted, jnp.full((M,), Lt))
+
+    clon_set = ~jnp.isnan(clon) & pos_ok
+    clon_f = _ffill_scan(jnp.where(clon_set, clon, 0.0), clon_set, jnp.nan)
+    has_clon = jnp.cumsum(clon_set, axis=0) > 0  # set at any m' <= m
+    counted = has_clon.sum(axis=1)
+    clon_sum = jnp.where(has_clon, clon_f, 0.0).astype(
+        jnp.float64).sum(axis=1)
+    clon_sorted = jnp.sort(jnp.where(has_clon, clon_f, jnp.inf), axis=1)
+    clon_median = _masked_median(clon_sorted, counted)
+
+    clonR_set = ~jnp.isnan(clonR) & pos_ok
+    clonR_f = _ffill_scan(jnp.where(clonR_set, clonR, 0.0), clonR_set,
+                          jnp.nan)
+    hasR = jnp.cumsum(clonR_set, axis=0) > 0
+    rarefied = hasR.sum(axis=1)
+    clonR_sum = jnp.where(hasR, clonR_f, 0.0).astype(
+        jnp.float64).sum(axis=1)
+    clonR_sorted = jnp.sort(jnp.where(hasR, clonR_f, jnp.inf), axis=1)
+    clonR_median = _masked_median(clonR_sorted, rarefied)
+
+    # last emitted SNP row per (mm, position): ffill morphia/class
+    mor_f = _ffill_scan(full["morphia"].astype(jnp.int32), row, -1)
+    cls_f = _ffill_scan(full["cls"].astype(jnp.int32), row, -1)
+    have_row = jnp.cumsum(row, axis=0) > 0
+    have_row = have_row & pos_ok
+    div_sites = have_row.sum(axis=1)
+    sns = (have_row & (mor_f == 1)).sum(axis=1)
+    snv = (have_row & (mor_f > 1)).sum(axis=1)
+    con_snps = (have_row & ((cls_f == 0) | (cls_f == 2) |
+                            (cls_f == 3))).sum(axis=1)
+    pop_snps = (have_row & ((cls_f == 0) | (cls_f == 3))).sum(axis=1)
+
+    aggregates = dict(
+        cov_sum=cov_sum, cov_sumsq=cov_sumsq, nonzeros=nonzeros,
+        cov_median=cov_median, counted=counted, clon_sum=clon_sum,
+        clon_median=clon_median, rarefied=rarefied, clonR_sum=clonR_sum,
+        clonR_median=clonR_median, div_sites=div_sites, sns=sns, snv=snv,
+        con_snps=con_snps, pop_snps=pop_snps,
+        mm_active=present.any(axis=1),
+    )
+
+    # ---- per-SNV-position profiles for linkage ----
+    (pidx,) = jnp.nonzero(full["any_snp"], size=pos_capacity, fill_value=-1)
+    pvalid = pidx >= 0
+    psafe = jnp.maximum(pidx, 0)
+    linkage = dict(
+        valid=pvalid,
+        pos=jnp.where(pvalid, psafe, -1),
+        cum=cum[:, :, psafe],            # [M, 4, P]
+        present=present[:, psafe],       # [M, P]
+        n_pos=full["any_snp"].sum(),
+    )
+
+    masks = dict(cryptic=full["cryptic"], any_snp=full["any_snp"],
+                 bases_mask=full["bases_mask"])
+    return dict(rows=rows, agg=aggregates, linkage=linkage, masks=masks)

@@ -1,0 +1,166 @@
+"""
+Compact profiling path: table builders over the on-device-compacted
+site-stats outputs (kernels.sitestats.site_stats_compact).
+
+Produces the same raw SNP / cumulative SNV / scaffold tables as
+profile/tables.py, but from KB-scale device transfers — the dense
+per-position arrays never leave the device. Used for TPU execution where
+the device->host link is the bottleneck; the dense path remains the
+reference implementation (they are cross-checked in tests).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Optional
+
+import jax
+import numpy as np
+import pandas as pd
+
+from ..kernels.sitestats import CLASS_NAMES, site_stats_compact
+from .pileup import ScaffoldPileup, _bucket
+from .tables import BASES, cumulative_snv_table, estimate_breadth
+
+SNP_CAPACITY = 32768
+POS_CAPACITY = 16384
+
+
+class CompactStats:
+    """Host view of site_stats_compact outputs for one scaffold."""
+
+    def __init__(self, pileup: ScaffoldPileup, out: Dict, M: int, L: int):
+        self.pileup = pileup
+        self.M = M
+        self.L = L
+        self.rows = {k: np.asarray(v) for k, v in out["rows"].items()}
+        self.agg = {k: np.asarray(v)[:M] for k, v in out["agg"].items()}
+        self.linkage = {k: np.asarray(v) for k, v in out["linkage"].items()}
+        self.masks = {k: np.asarray(v) for k, v in out["masks"].items()}
+        if int(self.rows["n_rows"]) > len(self.rows["pos"]):
+            raise RuntimeError(
+                f"SNP row capacity exceeded: {int(self.rows['n_rows'])}")
+        if int(self.linkage["n_pos"]) > len(self.linkage["pos"]):
+            raise RuntimeError(
+                f"SNV position capacity exceeded: "
+                f"{int(self.linkage['n_pos'])}")
+
+    @property
+    def mm_values(self):
+        return self.pileup.mm_values
+
+    @property
+    def any_snp(self):
+        return self.masks["any_snp"][:self.L]
+
+    @property
+    def bases_mask(self):
+        return self.masks["bases_mask"][:, :self.L]
+
+    @property
+    def cryptic(self):
+        return self.masks["cryptic"][:self.L]
+
+
+def run_site_stats_compact(pileup: ScaffoldPileup, ref_codes: np.ndarray,
+                           null_lut: np.ndarray, freq_lut: np.ndarray,
+                           min_cov: int = 5, rarefied_coverage: int = 50,
+                           seed: int = 42) -> CompactStats:
+    counts = pileup.counts
+    M, _, L = counts.shape
+    Mp, Lp = max(_bucket(M, 8), 8), max(_bucket(L, 4096), 4096)
+    if (Mp, Lp) != (M, L):
+        cp = np.zeros((Mp, 4, Lp), counts.dtype)
+        cp[:M, :, :L] = counts
+        rp = np.full(Lp, 4, dtype=ref_codes.dtype)
+        rp[:L] = ref_codes
+        counts, ref_codes = cp, rp
+    key = jax.random.fold_in(jax.random.PRNGKey(seed), pileup.rid)
+    out = site_stats_compact(counts, np.ascontiguousarray(ref_codes),
+                             null_lut, freq_lut, key, min_cov=min_cov,
+                             min_covR=rarefied_coverage,
+                             rarefied_draws=rarefied_coverage,
+                             snp_capacity=SNP_CAPACITY,
+                             pos_capacity=POS_CAPACITY, true_len=L)
+    return CompactStats(pileup, jax.device_get(out), M, L)
+
+
+def snp_table_compact(cs: CompactStats, ref_codes: np.ndarray
+                      ) -> pd.DataFrame:
+    r = cs.rows
+    v = r["valid"] & (r["mm_idx"] < cs.M) & (r["pos"] < cs.L)
+    if not v.any():
+        return pd.DataFrame()
+    pos = r["pos"][v]
+    mmi = r["mm_idx"][v]
+    table = {
+        "scaffold": cs.pileup.name,
+        "position": pos.astype(np.int64),
+        "ref_base": BASES[np.minimum(ref_codes[pos], 4)],
+        "A": r["A"][v].astype(np.int64),
+        "C": r["C"][v].astype(np.int64),
+        "T": r["T"][v].astype(np.int64),
+        "G": r["G"][v].astype(np.int64),
+        "con_base": BASES[r["con"][v]],
+        "var_base": BASES[r["var"][v]],
+        "mm": cs.mm_values[mmi].astype(np.int64),
+        "allele_count": r["morphia"][v].astype(np.int64),
+        "class": np.array(CLASS_NAMES)[r["cls"][v]],
+        "cryptic": r["cryptic"][v].astype(bool),
+        "total": None,
+    }
+    del table["total"]
+    table["position_coverage"] = r["total"][v].astype(np.int64)
+    return pd.DataFrame(table)
+
+
+def coverage_table_compact(cs: CompactStats) -> pd.DataFrame:
+    """make_coverage_table from per-mm device aggregates."""
+    a = cs.agg
+    L = cs.L
+    M = cs.M
+    active = a["mm_active"].astype(bool)
+    out: Dict[str, np.ndarray] = {}
+    out["scaffold"] = np.array([cs.pileup.name] * M)
+    out["length"] = np.full(M, L)
+    out["breadth"] = a["nonzeros"] / L
+    mean = a["cov_sum"] / L
+    out["coverage"] = mean
+    out["coverage_median"] = a["cov_median"].astype(int)
+    var0 = a["cov_sumsq"] / L - mean * mean
+    out["coverage_std"] = np.sqrt(np.maximum(var0, 0))
+    var1 = (a["cov_sumsq"] - L * mean * mean) / (L - 1) if L > 1 else np.nan
+    with np.errstate(invalid="ignore"):
+        out["coverage_SEM"] = np.sqrt(np.maximum(var1, 0)) / np.sqrt(L)
+
+    counted = a["counted"]
+    with np.errstate(invalid="ignore", divide="ignore"):
+        mean_c = np.where(counted > 0, a["clon_sum"] / np.maximum(counted, 1),
+                          np.nan)
+    out["nucl_diversity"] = 1 - mean_c
+    out["nucl_diversity_median"] = np.where(counted > 0,
+                                            1 - a["clon_median"], np.nan)
+    rarefied = a["rarefied"]
+    with np.errstate(invalid="ignore", divide="ignore"):
+        mean_r = np.where(rarefied > 0,
+                          a["clonR_sum"] / np.maximum(rarefied, 1), np.nan)
+    out["nucl_diversity_rarefied"] = 1 - mean_r
+    out["nucl_diversity_rarefied_median"] = np.where(
+        rarefied > 0, 1 - a["clonR_median"], np.nan)
+    out["breadth_minCov"] = counted / L
+    out["breadth_rarefied"] = rarefied / L
+    out["breadth_expected"] = estimate_breadth(out["coverage"])
+    out["divergent_site_count"] = a["div_sites"]
+    out["SNS_count"] = a["sns"]
+    out["SNV_count"] = a["snv"]
+    out["consensus_divergent_sites"] = a["con_snps"]
+    out["population_divergent_sites"] = a["pop_snps"]
+    with np.errstate(invalid="ignore", divide="ignore"):
+        out["conANI_reference"] = np.where(
+            counted > 0, (counted - a["con_snps"]) / np.maximum(counted, 1),
+            0)
+        out["popANI_reference"] = np.where(
+            counted > 0, (counted - a["pop_snps"]) / np.maximum(counted, 1),
+            0)
+    out["mm"] = cs.mm_values.astype(np.int64)
+    df = pd.DataFrame(out)
+    return df[active].reset_index(drop=True)

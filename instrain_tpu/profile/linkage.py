@@ -113,11 +113,9 @@ def calculate_linkage(stats: ScaffoldStats, window_starts: np.ndarray,
     cnt = np.bincount(flat, minlength=E * M * 16).reshape(E, M, 16)
     cumcombo = np.cumsum(cnt, axis=1)                 # [E, M, 16]
 
-    cum = stats.cum                                   # [M, 4, L]
-    present = stats.present                           # [M, L]
-    c1 = cum[:, :, p1].transpose(2, 0, 1)             # [E, M, 4]
-    c2 = cum[:, :, p2].transpose(2, 0, 1)
-    both_present = (present[:, p1] & present[:, p2]).T  # [E, M]
+    c1, pr1 = _gather_pos_stats(stats, p1)            # [E, M, 4], [E, M]
+    c2, pr2 = _gather_pos_stats(stats, p2)
+    both_present = pr1 & pr2                          # [E, M]
 
     sums_ok = (c1.sum(axis=2) + c2.sum(axis=2)) >= min_snp
 
@@ -187,6 +185,25 @@ def calculate_linkage(stats: ScaffoldStats, window_starts: np.ndarray,
     })
     return df.sort_values(["position_A", "position_B", "mm"]).reset_index(
         drop=True)
+
+
+def _gather_pos_stats(stats, positions):
+    """(cum counts [E, M, 4], exact-mm presence [E, M]) at positions —
+    from dense arrays or from the compacted per-SNV-position profiles."""
+    if hasattr(stats, "linkage"):  # CompactStats
+        lk = stats.linkage
+        n = int(lk["n_pos"])
+        snv_pos = lk["pos"][:n]
+        idx = np.searchsorted(snv_pos, positions)
+        assert np.array_equal(snv_pos[idx], positions), "position missing"
+        cum = lk["cum"][:stats.M, :, :]
+        present = lk["present"][:stats.M, :]
+        return (cum[:, :, idx].transpose(2, 0, 1),
+                present[:, idx].T)
+    cum = stats.cum
+    present = stats.present
+    return (cum[:, :, positions].transpose(2, 0, 1),
+            (present[:, positions]).T)
 
 
 def _ld_math(fAB, fAb, faB, fab):

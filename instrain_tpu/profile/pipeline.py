@@ -186,11 +186,14 @@ def _store_results(isdir: ProfileDir, results, bam_path, cfg, gene_data):
 
     isdir.store("scaffold_list", [r.name for r in results], "list",
                 "1d list of scaffolds that were profiled")
+    mi = isdir.get("mapping_info")
+    s2fp = mi.set_index("scaffold")["filtered_pairs"].to_dict()
     isdir.store("window_table", pd.DataFrame(
         {"scaffold": [r.name for r in results],
          "end": [r.length for r in results],
-         "start": [0] * len(results)}), "pandas",
-        "Windows profiled over")
+         "start": [0] * len(results),
+         "filtered_pairs": [s2fp.get(r.name, 0) for r in results]}),
+        "pandas", "Windows profiled over")
     isdir.store("raw_linkage_table", cat([r.linkage_table for r in results]),
                 "pandas", "Raw table of linkage information")
     raw_snp = cat([r.snp_table for r in results])

@@ -1,0 +1,66 @@
+"""
+Compact (device-side compaction) path vs the dense reference path: the two
+must produce identical tables.
+"""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from instrain_tpu.io.fasta import seq_to_codes
+from instrain_tpu.profile import compact, tables
+from instrain_tpu.profile.linkage import calculate_linkage, window_starts_for
+from instrain_tpu.profile.pileup import make_luts, run_site_stats
+from instrain_tpu.config import VariantConfig
+
+
+@pytest.fixture(scope="module")
+def both_stats(sars_profiled, ref_null_model):
+    pu = sars_profiled["pileup"]
+    rc = sars_profiled["ref_codes"]
+    luts = make_luts(VariantConfig(null_model=ref_null_model))
+    cs = compact.run_site_stats_compact(pu, rc, *luts)
+    return sars_profiled["stats"], cs, rc
+
+
+def test_snp_tables_identical(both_stats):
+    st, cs, rc = both_stats
+    dense = tables.snp_table(st, rc).reset_index(drop=True)
+    comp = compact.snp_table_compact(cs, rc).reset_index(drop=True)
+    assert len(dense) == len(comp)
+    pd.testing.assert_frame_equal(dense, comp, check_dtype=False)
+
+
+def test_coverage_tables_identical(both_stats):
+    st, cs, rc = both_stats
+    dense = tables.coverage_table(st)
+    comp = compact.coverage_table_compact(cs)
+    assert len(dense) == len(comp)
+    for col in dense.columns:
+        if col == "scaffold":
+            continue
+        a = dense[col].values.astype(float)
+        b = comp[col].values.astype(float)
+        mask = ~(np.isnan(a) & np.isnan(b))
+        assert np.allclose(a[mask], b[mask], rtol=1e-9, atol=1e-9), col
+
+
+def test_linkage_identical(both_stats):
+    st, cs, rc = both_stats
+    L = st.pileup.length
+    ws = window_starts_for(L, 10000)
+    dense = calculate_linkage(st, ws, min_snp=20)
+    comp = calculate_linkage(cs, ws, min_snp=20)
+    det = [c for c in dense.columns
+           if c not in ("r2_normalized", "d_prime_normalized")]
+    pd.testing.assert_frame_equal(dense[det], comp[det], check_dtype=False)
+
+
+def test_transfer_size_is_small(both_stats):
+    """The whole compact payload must stay in the low-MB range."""
+    _, cs, _ = both_stats
+    total = 0
+    for group in (cs.rows, cs.agg, cs.linkage, cs.masks):
+        for v in group.values():
+            total += np.asarray(v).nbytes
+    assert total < 12 * 1024 * 1024, total
