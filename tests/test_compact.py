@@ -42,7 +42,11 @@ def test_coverage_tables_identical(both_stats):
         a = dense[col].values.astype(float)
         b = comp[col].values.astype(float)
         mask = ~(np.isnan(a) & np.isnan(b))
-        assert np.allclose(a[mask], b[mask], rtol=1e-9, atol=1e-9), col
+        # clonality means: the dense path averages float32 values with
+        # numpy (f32 pairwise), the compact path sums in f64 on device —
+        # they agree to f32 resolution
+        tol = 1e-6 if col.startswith("nucl_diversity") else 1e-9
+        assert np.allclose(a[mask], b[mask], rtol=tol, atol=tol), col
 
 
 def test_linkage_identical(both_stats):
