@@ -67,6 +67,7 @@ class ProfileConfig:
     gene_file: Optional[str] = None
     stb: List[str] = field(default_factory=list)
     detailed_mapping_info: bool = False
+    debug: bool = False
 
     filter: ReadFilterConfig = field(default_factory=ReadFilterConfig)
     variant: VariantConfig = field(default_factory=VariantConfig)

@@ -149,6 +149,23 @@ class PairSet:
         return float(self.mapping_info["mean_pair_length"].iloc[0])
 
 
+def detailed_mapping_info(info: PairInfo, passed: np.ndarray,
+                          ref_names: List[str],
+                          qnames: List[str]) -> pd.DataFrame:
+    """Per-read-pair detail table (reference: make_detailed_mapping_info,
+    filter_reads.py:544-570, version=2 layout)."""
+    return pd.DataFrame({
+        "read_pair": [qnames[q] for q in info.qname_id],
+        "scaffold": [ref_names[r] for r in info.ref_id],
+        "pass_filters": passed.astype(bool),
+        "mm": info.nm,
+        "insert_dist": info.insert,
+        "mapq": info.mapq,
+        "length": info.length,
+        "reads": info.reads,
+    })
+
+
 def load_priority_reads(path: Optional[str]) -> Set[str]:
     """reference: filter_reads.py:428-469."""
     if path is None:

@@ -75,6 +75,12 @@ def profile(bam_path: str, fasta_path: str, cfg: ProfileConfig,
                 "Location of .fasta file used during profile")
     isdir.store("scaffold2length", registry.s2l, "dictionary",
                 "Dictionary of scaffold 2 length")
+    if cfg.detailed_mapping_info:
+        from .filter_reads import detailed_mapping_info
+        isdir.store("detailed_mapping_info",
+                    detailed_mapping_info(pairs.info, pairs.passed,
+                                          bam.ref_names, bam.qnames),
+                    "pandas", "Details report on reads")
     rdic = pairs.rdic(skip_mm=cfg.skip_mm_profiling)
     isdir.store("Rdic", rdic, "pickle" if cfg.skip_mm_profiling
                 else "dictionary",
@@ -140,6 +146,25 @@ def profile(bam_path: str, fasta_path: str, cfg: ProfileConfig,
 
 def _profile_one_scaffold(bam, pairs, registry, name, cfg, null_lut,
                           freq_lut, gene_data):
+    try:
+        return _profile_one_scaffold_inner(bam, pairs, registry, name, cfg,
+                                           null_lut, freq_lut, gene_data)
+    except Exception as e:
+        # per-scaffold failure containment (reference:
+        # profile_utilities.py:92-112 SplitException / MergeError)
+        from ..obs.logging import log_failure
+        log_failure("SplitException", name, str(e))
+        logging.error(f"whole scaffold exception- {name}")
+        return None
+
+
+def _profile_one_scaffold_inner(bam, pairs, registry, name, cfg, null_lut,
+                                freq_lut, gene_data):
+    # fault-injection hook (reference: FailureScaffoldHeaderTesting magic
+    # name, profile_utilities.py:137-139)
+    if name == "FailureScaffoldHeaderTesting" and getattr(cfg, "debug",
+                                                          False):
+        raise AssertionError("injected failure for testing")
     rid = bam.name_to_ref_id.get(name)
     if rid is None:
         return None
@@ -168,8 +193,14 @@ def _profile_one_scaffold(bam, pairs, registry, name, cfg, null_lut,
     gene_results = None
     if gene_data is not None and name in gene_data.scaff2genes:
         from . import genes as genes_mod
-        gene_results = genes_mod.profile_genes_for_scaffold(
-            name, gene_data, stats, csnv)
+        try:
+            gene_results = genes_mod.profile_genes_for_scaffold(
+                name, gene_data, stats, csnv)
+        except Exception as e:
+            # gene failures don't kill the scaffold profile (reference:
+            # profile_utilities.py:388-396 GeneException)
+            from ..obs.logging import log_failure
+            log_failure("GeneException", name, str(e))
 
     return ScaffoldProfileResult(
         name=name, length=L, stats=stats, snp_table=snp,
