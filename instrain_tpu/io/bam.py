@@ -68,6 +68,16 @@ def _load_lib():
                                  ct.POINTER(ct.c_uint8), ct.c_int64]
     lib.bd_tweak_overlaps.argtypes = [ct.c_void_p]
     lib.bd_tweak_overlaps_ex.argtypes = [ct.c_void_p, ct.c_int, ct.c_int]
+    lib.bd_build_counts.restype = ct.c_int64
+    lib.bd_build_counts.argtypes = [
+        ct.c_void_p, ct.c_int32, ct.POINTER(ct.c_int32), ct.c_int32,
+        ct.c_int64, ct.POINTER(ct.c_int32), ct.c_uint8]
+    lib.bd_select_events.restype = ct.c_int64
+    lib.bd_select_events.argtypes = [
+        ct.c_void_p, ct.c_int32, ct.POINTER(ct.c_int32),
+        ct.POINTER(ct.c_uint8), ct.c_int64, ct.c_uint8,
+        ct.POINTER(ct.c_int32), ct.POINTER(ct.c_uint8),
+        ct.POINTER(ct.c_int32), ct.POINTER(ct.c_int64), ct.c_int64]
     lib.bd_baq_one.restype = ct.c_int
     lib.bd_baq_one.argtypes = [
         ct.POINTER(ct.c_uint8), ct.c_int64, ct.c_int64,
@@ -109,6 +119,56 @@ class BamArrays:
     ev_qual: np.ndarray           # uint8
     # qnames
     qnames: Optional[List[str]] = None
+    # native handle (kept open for native pileup/count building)
+    _handle: Optional[int] = None
+
+    def __del__(self):
+        self.close()
+
+    def close(self):
+        if getattr(self, "_handle", None):
+            _load_lib().bd_free(self._handle)
+            self._handle = None
+
+    def build_counts(self, rid: int, qid2mmidx: np.ndarray, n_mm: int,
+                     L: int, min_qual: int = 30):
+        """Native event->counts scatter: counts[n_mm, 4, L] int32."""
+        assert self._handle, "native handle closed"
+        lib = _load_lib()
+        q = np.ascontiguousarray(qid2mmidx, dtype=np.int32)
+        out = np.zeros(n_mm * 4 * L, dtype=np.int32)
+        lib.bd_build_counts(self._handle, rid,
+                            q.ctypes.data_as(ct.POINTER(ct.c_int32)),
+                            n_mm, L,
+                            out.ctypes.data_as(ct.POINTER(ct.c_int32)),
+                            min_qual)
+        return out.reshape(n_mm, 4, L)
+
+    def select_events(self, rid: int, qid2mmidx: np.ndarray,
+                      pos_mask: np.ndarray, min_qual: int = 30,
+                      capacity: int = 1 << 20):
+        """Counted events at masked positions: (pos, base, mm_idx, qname)."""
+        assert self._handle, "native handle closed"
+        lib = _load_lib()
+        q = np.ascontiguousarray(qid2mmidx, dtype=np.int32)
+        mask = np.ascontiguousarray(pos_mask, dtype=np.uint8)
+        L = len(mask)
+        while True:
+            pos = np.empty(capacity, dtype=np.int32)
+            base = np.empty(capacity, dtype=np.uint8)
+            mm = np.empty(capacity, dtype=np.int32)
+            qn = np.empty(capacity, dtype=np.int64)
+            n = lib.bd_select_events(
+                self._handle, rid,
+                q.ctypes.data_as(ct.POINTER(ct.c_int32)),
+                mask.ctypes.data_as(ct.POINTER(ct.c_uint8)), L, min_qual,
+                pos.ctypes.data_as(ct.POINTER(ct.c_int32)),
+                base.ctypes.data_as(ct.POINTER(ct.c_uint8)),
+                mm.ctypes.data_as(ct.POINTER(ct.c_int32)),
+                qn.ctypes.data_as(ct.POINTER(ct.c_int64)), capacity)
+            if n <= capacity:
+                return pos[:n], base[:n], mm[:n], qn[:n]
+            capacity = int(n)
 
     @property
     def n_records(self) -> int:
@@ -185,9 +245,12 @@ def decode_bam(path: str, ref_seqs: Optional[Dict[str, np.ndarray]] = None,
             blob_len = lib.bd_qname_blob_len(h)
             blob = ct.string_at(lib.bd_qname_blob(h), blob_len)
             out.qnames = [s.decode() for s in blob.split(b"\0")[:nq]]
+        out._handle = h
+        h = None  # ownership transferred to BamArrays
         return out
     finally:
-        lib.bd_free(h)
+        if h:
+            lib.bd_free(h)
 
 
 def baq_one(ref_codes: np.ndarray, pos: int, cigar: np.ndarray,

@@ -54,11 +54,13 @@ def capture_read_pairs(stats: ScaffoldStats,
     the same window. mm_idx indexes stats.mm_values (the read pair's mm).
     """
     pu = stats.pileup
-    pos, base, mm_idx, qname = (pu.ev_pos, pu.ev_base, pu.ev_mm_idx,
-                                pu.ev_qname)
-    any_snp = stats.any_snp
+    any_snp = np.asarray(stats.any_snp)
+    if not any_snp.any():
+        return np.zeros((0, 5), dtype=np.int64)
+    # native extraction of counted events at SNV positions only
+    pos, base, mm_idx, qname = pu.select_events(any_snp.astype(np.uint8))
     bmask = stats.bases_mask          # [4, L]
-    keep = any_snp[pos] & bmask[base, pos]
+    keep = bmask[base, pos]
     pos, base, mm_idx, qname = pos[keep], base[keep], mm_idx[keep], qname[keep]
     if len(pos) == 0:
         return np.zeros((0, 5), dtype=np.int64)

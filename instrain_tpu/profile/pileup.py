@@ -31,18 +31,23 @@ class ScaffoldPileup:
     length: int
     mm_values: np.ndarray          # int64 [M] sorted distinct pair mms
     counts: np.ndarray             # int32 [M, 4, L] exact-mm base counts
-    # per-event arrays for linkage capture (events of counted bases)
-    ev_pos: np.ndarray             # int32 positions
-    ev_base: np.ndarray            # uint8 base codes
-    ev_mm_idx: np.ndarray          # int32 index into mm_values
-    ev_qname: np.ndarray           # int64 qname ids
+    # event source for linkage capture (lazy; native-backed)
+    bam: Optional[BamArrays] = None
+    qid2mmidx: Optional[np.ndarray] = None  # int32 per qname -> mm index
+
+    def select_events(self, pos_mask: np.ndarray):
+        """(pos, base, mm_idx, qname) of counted bases at masked positions
+        — extracted natively from the decoder's event buffers."""
+        assert self.bam is not None and self.qid2mmidx is not None
+        return self.bam.select_events(self.rid, self.qid2mmidx, pos_mask)
 
 
 def build_scaffold_pileup(bam: BamArrays, pairs: PairSet, rid: int,
                           length: int) -> Optional[ScaffoldPileup]:
     """
-    Collect counted base events (qual >= 30, ACTG, pileup-eligible reads
-    whose pair passed filtering) and scatter into the dense count tensor.
+    Scatter counted base events (qual >= 30, ACTG, reads whose pair passed
+    filtering) into the dense count tensor — a single native pass over the
+    decoder's event buffers (bd_build_counts).
 
     pysam-parity notes (see io/bam.py): with the reference's stepper
     ('nofilter') orphans are NOT excluded from the pileup, and base
@@ -51,52 +56,34 @@ def build_scaffold_pileup(bam: BamArrays, pairs: PairSet, rid: int,
     qids, mms = pairs.r2m_for_scaffold(rid)
     if len(qids) == 0:
         return None
-    n_q = int(bam.qname_id.max()) + 1 if bam.n_records else 0
-    qid2mm = np.full(n_q, -1, dtype=np.int64)
-    qid2mm[qids] = mms
+    mm_values = np.unique(mms)
+    mm_to_idx = {int(m): i for i, m in enumerate(mm_values)}
+    n_q = len(bam.qnames) if bam.qnames is not None else \
+        int(bam.qname_id.max()) + 1
+    qid2mmidx = np.full(n_q, -1, dtype=np.int32)
+    qid2mmidx[qids] = np.array([mm_to_idx[int(m)] for m in mms],
+                               dtype=np.int32)
 
-    rec_mask = (bam.ref_id == rid) & (qid2mm[bam.qname_id] >= 0)
-    recs = np.nonzero(rec_mask)[0]
-    if len(recs) == 0:
+    counts = bam.build_counts(rid, qid2mmidx, len(mm_values), length)
+    if counts.sum() == 0:
         return None
 
-    ev_idx = _expand_events(bam.ev_off[recs], bam.ev_len[recs])
-    ev_mm = np.repeat(qid2mm[bam.qname_id[recs]], bam.ev_len[recs])
-    ev_qname = np.repeat(bam.qname_id[recs], bam.ev_len[recs])
-
-    pos = bam.ev_pos[ev_idx]
-    base = bam.ev_base[ev_idx]
-    qual = bam.ev_qual[ev_idx]
-    keep = (qual >= 30) & (base < 4)
-    pos, base, ev_mm, ev_qname = (pos[keep], base[keep], ev_mm[keep],
-                                  ev_qname[keep])
-    if len(pos) == 0:
-        return None
-
-    mm_values, mm_idx = np.unique(ev_mm, return_inverse=True)
-    M = len(mm_values)
-    flat = (mm_idx.astype(np.int64) * 4 + base) * length + pos
-    counts = np.bincount(flat, minlength=M * 4 * length).reshape(
-        M, 4, length).astype(np.int32)
+    # drop mm levels with no counted bases anywhere (a pair whose bases
+    # were all quality-masked contributes no level, matching the
+    # reference's covT key semantics)
+    level_mask = counts.sum(axis=(1, 2)) > 0
+    if not level_mask.all():
+        keep_idx = np.nonzero(level_mask)[0]
+        remap = np.full(len(mm_values), -1, dtype=np.int32)
+        remap[keep_idx] = np.arange(len(keep_idx), dtype=np.int32)
+        qid2mmidx = np.where(qid2mmidx >= 0, remap[qid2mmidx], -1).astype(
+            np.int32)
+        counts = counts[level_mask]
+        mm_values = mm_values[level_mask]
 
     return ScaffoldPileup(name=bam.ref_names[rid], rid=rid, length=length,
                           mm_values=mm_values, counts=counts,
-                          ev_pos=pos.astype(np.int32), ev_base=base,
-                          ev_mm_idx=mm_idx.astype(np.int32),
-                          ev_qname=ev_qname)
-
-
-def _expand_events(offs: np.ndarray, lens: np.ndarray) -> np.ndarray:
-    """Concatenate [off, off+len) ranges without a Python loop."""
-    total = int(lens.sum())
-    if total == 0:
-        return np.zeros(0, dtype=np.int64)
-    out = np.ones(total, dtype=np.int64)
-    starts = np.zeros(len(offs), dtype=np.int64)
-    starts[1:] = np.cumsum(lens)[:-1]
-    out[starts] = offs
-    out[starts[1:]] -= offs[:-1] + lens[:-1] - 1
-    return np.cumsum(out)
+                          bam=bam, qid2mmidx=qid2mmidx)
 
 
 @dataclass

@@ -176,7 +176,8 @@ def _profile_one_scaffold_inner(bam, pairs, registry, name, cfg, null_lut,
         # collapse the mm axis: every pair counts at level 0
         pileup.counts = pileup.counts.sum(axis=0, keepdims=True)
         pileup.mm_values = np.array([0])
-        pileup.ev_mm_idx = np.zeros_like(pileup.ev_mm_idx)
+        pileup.qid2mmidx = np.where(pileup.qid2mmidx >= 0, 0,
+                                    -1).astype(np.int32)
 
     ref_codes = registry.codes[name]
     stats = run_site_stats(pileup, ref_codes, null_lut, freq_lut,
@@ -279,11 +280,13 @@ def _reads_to_snvs(stats: ScaffoldStats) -> Dict[int, Dict[str, list]]:
     """mm -> qname_id -> ['pos:base'] for captured linkage reads."""
     from collections import defaultdict
     pu = stats.pileup
-    keep = stats.any_snp[pu.ev_pos] & stats.bases_mask[pu.ev_base, pu.ev_pos]
-    pos = pu.ev_pos[keep]
-    base = pu.ev_base[keep]
-    mm = pu.mm_values[pu.ev_mm_idx[keep]]
-    qn = pu.ev_qname[keep]
+    any_snp = np.asarray(stats.any_snp)
+    if not any_snp.any():
+        return {}
+    pos, base, mm_idx, qn = pu.select_events(any_snp.astype(np.uint8))
+    keep = stats.bases_mask[base, pos]
+    pos, base, mm_idx, qn = pos[keep], base[keep], mm_idx[keep], qn[keep]
+    mm = pu.mm_values[mm_idx]
     out: Dict[int, Dict[str, list]] = defaultdict(lambda: defaultdict(list))
     bchar = "ACTG"
     for p, b, m, q in zip(pos.tolist(), base.tolist(), mm.tolist(),

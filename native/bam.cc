@@ -581,3 +581,71 @@ const char* bd_qname_blob(BamData* h) { return h->qname_blob.data(); }
 int64_t bd_qname_blob_len(BamData* h) { return (int64_t)h->qname_blob.size(); }
 const int64_t* bd_qname_off(BamData* h) { return h->qname_off.data(); }
 }
+
+/*
+ * Dense pileup-count construction, entirely in native memory: one pass
+ * over the decoder's event stream scattering qual>=30 ACTG bases of
+ * filtered pairs into counts[n_mm, 4, L]. Replaces a chain of large numpy
+ * temporaries (index expansion + repeat + unique + bincount).
+ */
+extern "C" int64_t bd_build_counts(BamData* h, int32_t ref_id,
+                                   const int32_t* qid2mmidx, int32_t n_mm,
+                                   int64_t L, int32_t* out_counts,
+                                   uint8_t min_qual) {
+    int64_t beg = h->ref_rec_begin[ref_id], end = h->ref_rec_end[ref_id];
+    if (beg < 0) return 0;
+    int64_t n_events = 0;
+    for (int64_t r = beg; r < end; ++r) {
+        if (h->ref_id[r] != ref_id) continue;
+        int32_t mi = qid2mmidx[h->qname_id[r]];
+        if (mi < 0) continue;
+        int64_t e0 = h->ev_off[r];
+        int64_t e1 = e0 + h->ev_len[r];
+        int64_t base_off = (int64_t)mi * 4 * L;
+        for (int64_t e = e0; e < e1; ++e) {
+            uint8_t b = h->ev_base[e];
+            if (b >= 4 || h->ev_qual[e] < min_qual) continue;
+            int64_t p = h->ev_pos[e];
+            if (p < 0 || p >= L) continue;
+            ++out_counts[base_off + (int64_t)b * L + p];
+            ++n_events;
+        }
+    }
+    return n_events;
+}
+
+/* Extract counted events at masked positions (for linkage capture):
+ * fills pos/base/mm_idx/qname arrays up to `capacity`, returns the true
+ * number of matching events (may exceed capacity — caller re-calls). */
+extern "C" int64_t bd_select_events(BamData* h, int32_t ref_id,
+                                    const int32_t* qid2mmidx,
+                                    const uint8_t* pos_mask, int64_t L,
+                                    uint8_t min_qual,
+                                    int32_t* out_pos, uint8_t* out_base,
+                                    int32_t* out_mm, int64_t* out_qname,
+                                    int64_t capacity) {
+    int64_t beg = h->ref_rec_begin[ref_id], end = h->ref_rec_end[ref_id];
+    if (beg < 0) return 0;
+    int64_t n = 0;
+    for (int64_t r = beg; r < end; ++r) {
+        if (h->ref_id[r] != ref_id) continue;
+        int32_t mi = qid2mmidx[h->qname_id[r]];
+        if (mi < 0) continue;
+        int64_t e0 = h->ev_off[r];
+        int64_t e1 = e0 + h->ev_len[r];
+        for (int64_t e = e0; e < e1; ++e) {
+            uint8_t b = h->ev_base[e];
+            if (b >= 4 || h->ev_qual[e] < min_qual) continue;
+            int64_t p = h->ev_pos[e];
+            if (p < 0 || p >= L || !pos_mask[p]) continue;
+            if (n < capacity) {
+                out_pos[n] = (int32_t)p;
+                out_base[n] = b;
+                out_mm[n] = mi;
+                out_qname[n] = h->qname_id[r];
+            }
+            ++n;
+        }
+    }
+    return n;
+}

@@ -86,3 +86,17 @@ int bd_baq_one(const uint8_t* ref, int64_t ref_len, int64_t pos,
 }
 #endif
 #endif
+
+#ifdef __cplusplus
+extern "C" {
+#endif
+int64_t bd_build_counts(BamData* h, int32_t ref_id, const int32_t* qid2mmidx,
+                        int32_t n_mm, int64_t L, int32_t* out_counts,
+                        uint8_t min_qual);
+int64_t bd_select_events(BamData* h, int32_t ref_id, const int32_t* qid2mmidx,
+                         const uint8_t* pos_mask, int64_t L, uint8_t min_qual,
+                         int32_t* out_pos, uint8_t* out_base, int32_t* out_mm,
+                         int64_t* out_qname, int64_t capacity);
+#ifdef __cplusplus
+}
+#endif
