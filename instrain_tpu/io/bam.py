@@ -38,6 +38,8 @@ def _load_lib():
     lib = ct.CDLL(_LIB_PATH)
     lib.bd_open.restype = ct.c_void_p
     lib.bd_open.argtypes = [ct.c_char_p, ct.c_int]
+    lib.bd_open_sam.restype = ct.c_void_p
+    lib.bd_open_sam.argtypes = [ct.c_char_p]
     lib.bd_error.restype = ct.c_char_p
     lib.bd_free.argtypes = [ct.c_void_p]
     lib.bd_ref_name.restype = ct.c_char_p
@@ -86,6 +88,14 @@ def _load_lib():
         ct.POINTER(ct.c_uint8)]
     _lib = lib
     return lib
+
+
+def _is_sam(path: str) -> bool:
+    if path.endswith(".sam"):
+        return True
+    with open(path, "rb") as f:
+        head = f.read(4)
+    return not (head[:2] == b"\x1f\x8b" or head == b"BAM\x01")
 
 
 def _arr(ptr, n, dtype):
@@ -196,7 +206,10 @@ def decode_bam(path: str, ref_seqs: Optional[Dict[str, np.ndarray]] = None,
     reference sequences, e.g. from io.fasta.read_fasta).
     """
     lib = _load_lib()
-    h = lib.bd_open(path.encode(), threads)
+    if _is_sam(path):
+        h = lib.bd_open_sam(path.encode())
+    else:
+        h = lib.bd_open(path.encode(), threads)
     if not h:
         raise IOError(f"BAM decode failed: {lib.bd_error().decode()}")
     try:

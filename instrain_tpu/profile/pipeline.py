@@ -60,6 +60,8 @@ def profile(bam_path: str, fasta_path: str, cfg: ProfileConfig,
                 for n in registry.names}
     bam = decode_bam(bam_path, ref_seqs=ref_seqs, threads=cfg.processes,
                      baq=False)
+    if cfg.filter.maximum_reads:
+        _subsample_bam(bam, cfg.filter.maximum_reads, cfg.seed)
     pairs = filter_reads(bam, cfg.filter, scaffolds=registry.names)
 
     # store read-filtering results (reference: controller.py:260-322)
@@ -252,6 +254,14 @@ def _store_results(isdir: ProfileDir, results, bam_path, cfg, gene_data):
     isdir.store("clonTR", clonTR, "special",
                 "Scaffold -> mm -> rarefied position based clonality")
 
+    if cfg.store_everything:
+        # per-scaffold summed ACTG pileup counts (reference: counts_table,
+        # gen_snv_profile 709-715 — [L, 4] per scaffold)
+        counts_table = [r.stats.pileup.counts.sum(axis=0).T
+                        for r in results]
+        isdir.store("counts_table", counts_table, "pickle",
+                    "1d numpy array of 2D counts tables for each scaffold")
+
     # linkage capture structure (reference stores it for pooling/debug)
     s2m2r2s = {}
     for r in results:
@@ -293,6 +303,32 @@ def _reads_to_snvs(stats: ScaffoldStats) -> Dict[int, Dict[str, list]]:
                           qn.tolist()):
         out[m][q].append(f"{p}:{bchar[b]}")
     return {m: dict(v) for m, v in out.items()}
+
+
+def _subsample_bam(bam, maximum_reads: int, seed: int):
+    """
+    Deterministic template-level subsampling to ~maximum_reads records
+    (the reference shells out to samtools view -s, which keeps/drops whole
+    read templates by name hash; samtools_ops.py:159-164). Record-table
+    entries of dropped qnames are removed; the native event buffers are
+    left in place and stay consistent because pair selection drives every
+    downstream native call.
+    """
+    n = bam.n_records
+    if n <= maximum_reads:
+        return
+    frac = maximum_reads / n
+    n_q = len(bam.qnames) if bam.qnames is not None else \
+        int(bam.qname_id.max()) + 1
+    rng = np.random.default_rng(seed)
+    keep_q = rng.random(n_q) < frac
+    keep = keep_q[bam.qname_id]
+    for f in ("ref_id", "pos", "flag", "mapq", "nm", "qname_id",
+              "qlen_infer", "ref_start", "ref_end", "ev_off", "ev_len",
+              "pileup_ok"):
+        setattr(bam, f, getattr(bam, f)[keep])
+    logging.info(f"Subsampled to {bam.n_records} of {n} records "
+                 f"(--maximum_reads {maximum_reads})")
 
 
 def _filter_genome_coverage(keep, registry, s2p, read_length, cfg):

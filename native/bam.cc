@@ -13,6 +13,8 @@
 #include <string>
 #include <thread>
 #include <unordered_map>
+#include <algorithm>
+#include <type_traits>
 #include <vector>
 
 static thread_local std::string g_err;
@@ -648,4 +650,226 @@ extern "C" int64_t bd_select_events(BamData* h, int32_t ref_id,
         }
     }
     return n;
+}
+
+/*
+ * SAM text input: the reference accepts .sam via samtools conversion
+ * (profile/samtools_ops.py:13-67); here the decoder parses SAM directly
+ * into the same in-memory structures as BAM.
+ */
+namespace {
+
+const uint8_t* CHAR2CODE_init() {
+    static uint8_t t[256];
+    memset(t, 4, sizeof(t));
+    t['A'] = 0; t['C'] = 1; t['T'] = 2; t['G'] = 3;
+    return t;
+}
+const uint8_t* CHAR2CODE = CHAR2CODE_init();
+
+int cigar_char2op(char c) {
+    switch (c) {
+        case 'M': return CMATCH; case 'I': return CINS; case 'D': return CDEL;
+        case 'N': return CREF_SKIP; case 'S': return CSOFT;
+        case 'H': return CHARD; case 'P': return CPAD;
+        case '=': return CEQUAL; case 'X': return CDIFF;
+    }
+    return -1;
+}
+
+}  // namespace
+
+static void sam_sort_records(BamData* h) {
+    /* SAM input may be unsorted; coordinate-sort the record table (the
+     * reference runs samtools sort first, samtools_ops.py:70-164). Event
+     * and cigar buffers stay in place — only record-level vectors and the
+     * per-ref ranges are permuted. */
+    int64_t n = (int64_t)h->ref_id.size();
+    std::vector<int64_t> order(n);
+    for (int64_t i = 0; i < n; ++i) order[i] = i;
+    std::stable_sort(order.begin(), order.end(), [&](int64_t a, int64_t b) {
+        if (h->ref_id[a] != h->ref_id[b]) return h->ref_id[a] < h->ref_id[b];
+        return h->pos[a] < h->pos[b];
+    });
+    bool sorted = true;
+    for (int64_t i = 0; i < n; ++i)
+        if (order[i] != i) { sorted = false; break; }
+    if (sorted) return;
+
+    auto permute = [&](auto& vec) {
+        using V = typename std::remove_reference<decltype(vec)>::type;
+        V out(vec.size());
+        for (int64_t i = 0; i < n; ++i) out[i] = vec[order[i]];
+        vec.swap(out);
+    };
+    permute(h->ref_id); permute(h->pos); permute(h->flag); permute(h->mapq);
+    permute(h->nm); permute(h->qname_id); permute(h->qlen_infer);
+    permute(h->ref_start); permute(h->ref_end); permute(h->ev_off);
+    permute(h->ev_len); permute(h->pileup_ok); permute(h->cig_off);
+    permute(h->cig_n); permute(h->seq_off); permute(h->seq_len);
+    for (size_t r = 0; r < h->ref_names.size(); ++r) {
+        h->ref_rec_begin[r] = -1; h->ref_rec_end[r] = -1;
+    }
+    for (int64_t i = 0; i < n; ++i) {
+        int32_t rid = h->ref_id[i];
+        if (h->ref_rec_begin[rid] < 0) h->ref_rec_begin[rid] = i;
+        h->ref_rec_end[rid] = i + 1;
+    }
+}
+
+extern "C" BamData* bd_open_sam(const char* path) {
+    std::vector<uint8_t> raw;
+    if (!read_file(path, raw)) return nullptr;
+    auto h = new BamData();
+    std::unordered_map<std::string, int32_t> ref_ids;
+    std::unordered_map<std::string, int64_t> qmap;
+
+    size_t i = 0, n = raw.size();
+    const char* data = (const char*)raw.data();
+    while (i < n) {
+        size_t j = i;
+        while (j < n && data[j] != '\n') ++j;
+        std::string line(data + i, j - i);
+        i = j + 1;
+        if (line.empty()) continue;
+        if (line[0] == '@') {
+            if (line.rfind("@SQ", 0) == 0) {
+                std::string name; int64_t len = 0;
+                size_t p = 0;
+                while (p != std::string::npos) {
+                    size_t q = line.find('\t', p + 1);
+                    std::string field = line.substr(
+                        p + 1, q == std::string::npos ? q : q - p - 1);
+                    if (field.rfind("SN:", 0) == 0) name = field.substr(3);
+                    if (field.rfind("LN:", 0) == 0)
+                        len = atoll(field.c_str() + 3);
+                    p = q;
+                }
+                if (!name.empty()) {
+                    ref_ids[name] = (int32_t)h->ref_names.size();
+                    h->ref_names.push_back(name);
+                    h->ref_lens.push_back(len);
+                }
+            }
+            continue;
+        }
+        if (h->ref_rec_begin.empty()) {
+            h->ref_rec_begin.assign(h->ref_names.size(), -1);
+            h->ref_rec_end.assign(h->ref_names.size(), -1);
+        }
+        // split fields
+        std::vector<std::string> f;
+        size_t p = 0;
+        while (true) {
+            size_t q = line.find('\t', p);
+            f.push_back(line.substr(p, q == std::string::npos
+                                    ? q : q - p));
+            if (q == std::string::npos) break;
+            p = q + 1;
+        }
+        if (f.size() < 11) continue;
+        uint16_t fl = (uint16_t)atoi(f[1].c_str());
+        auto rit = ref_ids.find(f[2]);
+        if (rit == ref_ids.end() || (fl & 0x4)) continue;
+        int32_t refID = rit->second;
+        int32_t rpos = atoi(f[3].c_str()) - 1;
+        uint8_t mq = (uint8_t)atoi(f[4].c_str());
+        const std::string& cig_s = f[5];
+        const std::string& seq_s = f[9];
+        const std::string& qual_s = f[10];
+        int32_t nm = -1;
+        for (size_t k = 11; k < f.size(); ++k)
+            if (f[k].rfind("NM:i:", 0) == 0) nm = atoi(f[k].c_str() + 5);
+
+        // parse cigar
+        std::vector<uint32_t> cig;
+        int64_t num = 0;
+        for (char c : cig_s) {
+            if (c >= '0' && c <= '9') { num = num * 10 + (c - '0'); continue; }
+            int op = cigar_char2op(c);
+            if (op < 0) { cig.clear(); break; }
+            cig.push_back(((uint32_t)num << 4) | op);
+            num = 0;
+        }
+        if (cig_s == "*") cig.clear();
+
+        int64_t ev0 = (int64_t)h->ev_pos.size();
+        int64_t x = rpos, y = 0;
+        int32_t qlen = 0, rstart = -1, rend = -1;
+        bool star_qual = (qual_s == "*");
+        for (uint32_t c : cig) {
+            int op = c & 0xf;
+            int64_t l = c >> 4;
+            if (op == CMATCH || op == CEQUAL || op == CDIFF) {
+                for (int64_t k = 0; k < l; ++k) {
+                    int64_t qi = y + k;
+                    h->ev_pos.push_back((int32_t)(x + k));
+                    h->ev_base.push_back(
+                        qi < (int64_t)seq_s.size()
+                            ? CHAR2CODE[(uint8_t)seq_s[qi]] : 4);
+                    h->ev_qual.push_back(
+                        star_qual || qi >= (int64_t)qual_s.size()
+                            ? 0 : (uint8_t)(qual_s[qi] - 33));
+                    h->ev_qpos.push_back((int32_t)qi);
+                }
+                if (rstart < 0) rstart = (int32_t)x;
+                rend = (int32_t)(x + l - 1);
+                x += l; y += l; qlen += l;
+            } else if (op == CINS || op == CSOFT) {
+                y += l; qlen += l;
+            } else if (op == CDEL || op == CREF_SKIP) {
+                x += l;
+            }
+        }
+        if (rstart < 0) {
+            h->ev_pos.resize(ev0); h->ev_base.resize(ev0);
+            h->ev_qual.resize(ev0); h->ev_qpos.resize(ev0);
+            continue;
+        }
+        auto qit = qmap.find(f[0]);
+        int64_t qid;
+        if (qit == qmap.end()) {
+            qid = (int64_t)qmap.size();
+            qmap.emplace(f[0], qid);
+            h->qname_off.push_back((int64_t)h->qname_blob.size());
+            h->qname_blob += f[0];
+            h->qname_blob += '\0';
+        } else {
+            qid = qit->second;
+        }
+        int64_t ridx = (int64_t)h->ref_id.size();
+        h->ref_id.push_back(refID);
+        h->pos.push_back(rpos);
+        h->flag.push_back(fl);
+        h->mapq.push_back(mq);
+        h->nm.push_back(nm);
+        h->qname_id.push_back(qid);
+        h->qlen_infer.push_back(qlen);
+        h->ref_start.push_back(rstart);
+        h->ref_end.push_back(rend);
+        h->ev_off.push_back(ev0);
+        h->ev_len.push_back((int32_t)(h->ev_pos.size() - ev0));
+        bool orphan = (fl & 0x1) && !(fl & 0x2);
+        h->pileup_ok.push_back(orphan ? 0 : 1);
+        h->cig_off.push_back((int64_t)h->cig_buf.size());
+        h->cig_n.push_back((int32_t)cig.size());
+        h->cig_buf.insert(h->cig_buf.end(), cig.begin(), cig.end());
+        h->seq_off.push_back((int64_t)h->seq_buf.size());
+        int32_t l_seq = seq_s == "*" ? 0 : (int32_t)seq_s.size();
+        h->seq_len.push_back(l_seq);
+        for (int32_t k = 0; k < l_seq; ++k) {
+            h->seq_buf.push_back(CHAR2CODE[(uint8_t)seq_s[k]]);
+            h->qual_buf.push_back(
+                star_qual || k >= (int32_t)qual_s.size()
+                    ? 0 : (uint8_t)(qual_s[k] - 33));
+        }
+        if (h->ref_rec_begin[refID] < 0) h->ref_rec_begin[refID] = ridx;
+        h->ref_rec_end[refID] = ridx + 1;
+    }
+    if (h->ref_rec_begin.empty()) {
+        h->ref_rec_begin.assign(h->ref_names.size(), -1);
+        h->ref_rec_end.assign(h->ref_names.size(), -1);
+    }
+    sam_sort_records(h);
+    return h;
 }

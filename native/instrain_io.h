@@ -100,3 +100,11 @@ int64_t bd_select_events(BamData* h, int32_t ref_id, const int32_t* qid2mmidx,
 #ifdef __cplusplus
 }
 #endif
+
+#ifdef __cplusplus
+extern "C" {
+#endif
+BamData* bd_open_sam(const char* path);
+#ifdef __cplusplus
+}
+#endif
