@@ -66,6 +66,18 @@ def run_once(refseq, luts):
 
 
 def main():
+    # persistent compile cache: repeated bench runs skip the slow first
+    # compile (the axon remote-compile path costs minutes otherwise)
+    import jax
+    cache_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             ".jax_cache")
+    os.makedirs(cache_dir, exist_ok=True)
+    try:
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
+
     from instrain_tpu.profile.pileup import make_luts
     from instrain_tpu.config import VariantConfig
 

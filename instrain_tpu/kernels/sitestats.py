@@ -241,8 +241,47 @@ def site_stats_compact(counts, ref_codes, null_lut, freq_lut, rng_key,
     full = site_stats(counts, ref_codes, null_lut, freq_lut, rng_key,
                       min_cov=min_cov, min_covR=min_covR,
                       rarefied_draws=rarefied_draws)
+    Lt = true_len or counts.shape[-1]
+    return _compact_from_full(full, counts, snp_capacity, pos_capacity, Lt)
+
+
+# Batched variant: vmap over a leading scaffold axis. true_len becomes a
+# traced per-scaffold array so same-bucket scaffolds share one compile.
+@functools.partial(
+    jax.jit,
+    static_argnames=("min_cov", "min_covR", "rarefied_draws",
+                     "snp_capacity", "pos_capacity"))
+def site_stats_compact_batch(counts, ref_codes, lens, null_lut, freq_lut,
+                             rng_keys, min_cov: int = 5, min_covR: int = 50,
+                             rarefied_draws: int = 50,
+                             snp_capacity: int = 16384,
+                             pos_capacity: int = 8192):
+    """counts [S, M, 4, L], ref_codes [S, L], lens [S], rng_keys [S]."""
+
+    def one(c, r, l, k):
+        return _site_stats_compact_traced(
+            c, r, null_lut, freq_lut, k, l, min_cov=min_cov,
+            min_covR=min_covR, rarefied_draws=rarefied_draws,
+            snp_capacity=snp_capacity, pos_capacity=pos_capacity)
+
+    return jax.vmap(one)(counts, ref_codes, lens, rng_keys)
+
+
+def _site_stats_compact_traced(counts, ref_codes, null_lut, freq_lut,
+                               rng_key, true_len, **kw):
+    """site_stats_compact with a traced true_len (used under vmap)."""
+    # replicate site_stats_compact but with pos_ok from a traced scalar
+    full = site_stats.__wrapped__(counts, ref_codes, null_lut, freq_lut,
+                                  rng_key, min_cov=kw["min_cov"],
+                                  min_covR=kw["min_covR"],
+                                  rarefied_draws=kw["rarefied_draws"])
+    return _compact_from_full(full, counts, kw["snp_capacity"],
+                              kw["pos_capacity"], true_len)
+
+
+def _compact_from_full(full, counts, snp_capacity, pos_capacity, true_len):
     M, B, L = counts.shape
-    Lt = true_len or L   # true scaffold length (rest is padding)
+    Lt = true_len
 
     row = full["row"]
     cum = full["cum"]
@@ -251,8 +290,7 @@ def site_stats_compact(counts, ref_codes, null_lut, freq_lut, rng_key,
     clonR = full["clonR"]
     present = full["present"]
 
-    # ---- compacted SNP rows, position-major ----
-    flat_pm = row.T.reshape(-1)                       # [L*M], pos-major
+    flat_pm = row.T.reshape(-1)
     (ridx,) = jnp.nonzero(flat_pm, size=snp_capacity, fill_value=-1)
     valid_rows = ridx >= 0
     safe = jnp.maximum(ridx, 0)
@@ -272,23 +310,18 @@ def site_stats_compact(counts, ref_codes, null_lut, freq_lut, rng_key,
         n_rows=row.sum(),
     )
 
-    # ---- per-mm scaffold aggregates ----
     pos_ok = (jax.lax.broadcasted_iota(jnp.int32, (1, L), 1) < Lt)
-    # exact integer accumulation (requires jax_enable_x64, set at package
-    # import) so host-side mean/std/SEM match float64 numpy semantics
     toti = jnp.where(pos_ok, total, 0).astype(jnp.int64)
     cov_sum = toti.sum(axis=1)
     cov_sumsq = (toti * toti).sum(axis=1)
     nonzeros = ((total > 0) & pos_ok).sum(axis=1)
-    # median over the true length: sort with padding pushed to +inf, then
-    # median of first Lt entries
     tot_sorted = jnp.sort(jnp.where(pos_ok, total.astype(jnp.float32),
                                     jnp.inf), axis=1)
-    cov_median = _masked_median(tot_sorted, jnp.full((M,), Lt))
+    cov_median = _masked_median(tot_sorted, jnp.full((M,), 1) * Lt)
 
     clon_set = ~jnp.isnan(clon) & pos_ok
     clon_f = _ffill_scan(jnp.where(clon_set, clon, 0.0), clon_set, jnp.nan)
-    has_clon = jnp.cumsum(clon_set, axis=0) > 0  # set at any m' <= m
+    has_clon = jnp.cumsum(clon_set, axis=0) > 0
     counted = has_clon.sum(axis=1)
     clon_sum = jnp.where(has_clon, clon_f, 0.0).astype(
         jnp.float64).sum(axis=1)
@@ -305,11 +338,9 @@ def site_stats_compact(counts, ref_codes, null_lut, freq_lut, rng_key,
     clonR_sorted = jnp.sort(jnp.where(hasR, clonR_f, jnp.inf), axis=1)
     clonR_median = _masked_median(clonR_sorted, rarefied)
 
-    # last emitted SNP row per (mm, position): ffill morphia/class
     mor_f = _ffill_scan(full["morphia"].astype(jnp.int32), row, -1)
     cls_f = _ffill_scan(full["cls"].astype(jnp.int32), row, -1)
-    have_row = jnp.cumsum(row, axis=0) > 0
-    have_row = have_row & pos_ok
+    have_row = (jnp.cumsum(row, axis=0) > 0) & pos_ok
     div_sites = have_row.sum(axis=1)
     sns = (have_row & (mor_f == 1)).sum(axis=1)
     snv = (have_row & (mor_f > 1)).sum(axis=1)
@@ -326,15 +357,14 @@ def site_stats_compact(counts, ref_codes, null_lut, freq_lut, rng_key,
         mm_active=present.any(axis=1),
     )
 
-    # ---- per-SNV-position profiles for linkage ----
     (pidx,) = jnp.nonzero(full["any_snp"], size=pos_capacity, fill_value=-1)
     pvalid = pidx >= 0
     psafe = jnp.maximum(pidx, 0)
     linkage = dict(
         valid=pvalid,
         pos=jnp.where(pvalid, psafe, -1),
-        cum=cum[:, :, psafe],            # [M, 4, P]
-        present=present[:, psafe],       # [M, P]
+        cum=cum[:, :, psafe],
+        present=present[:, psafe],
         n_pos=full["any_snp"].sum(),
     )
 

@@ -164,3 +164,66 @@ def coverage_table_compact(cs: CompactStats) -> pd.DataFrame:
     out["mm"] = cs.mm_values.astype(np.int64)
     df = pd.DataFrame(out)
     return df[active].reset_index(drop=True)
+
+
+def run_site_stats_compact_batch(pileups, ref_codes_list, null_lut,
+                                 freq_lut, min_cov: int = 5,
+                                 rarefied_coverage: int = 50,
+                                 seed: int = 42):
+    """
+    Batch same-bucket scaffolds through one kernel launch.
+
+    Groups pileups by padded (M, L) bucket, stacks each bucket into
+    [S, Mp, 4, Lp] and vmaps the compact kernel — one device round-trip
+    per bucket instead of per scaffold.
+
+    Returns {scaffold_name: CompactStats} in input order.
+    """
+    import jax
+
+    buckets: Dict = {}
+    for i, (pu, rc) in enumerate(zip(pileups, ref_codes_list)):
+        M, _, L = pu.counts.shape
+        Mp, Lp = max(_bucket(M, 8), 8), max(_bucket(L, 4096), 4096)
+        buckets.setdefault((Mp, Lp), []).append((i, pu, rc))
+
+    results = [None] * len(pileups)
+    for (Mp, Lp), items in buckets.items():
+        S = len(items)
+        counts = np.zeros((S, Mp, 4, Lp), np.int32)
+        refs = np.full((S, Lp), 4, np.uint8)
+        lens = np.zeros(S, np.int64)
+        keys = []
+        for k, (i, pu, rc) in enumerate(items):
+            M, _, L = pu.counts.shape
+            counts[k, :M, :, :L] = pu.counts
+            refs[k, :L] = rc
+            lens[k] = L
+            keys.append(jax.random.fold_in(jax.random.PRNGKey(seed),
+                                           pu.rid))
+        from ..kernels.sitestats import site_stats_compact_batch
+        out = site_stats_compact_batch(
+            counts, refs, lens, null_lut, freq_lut, np.stack(keys),
+            min_cov=min_cov, min_covR=rarefied_coverage,
+            rarefied_draws=rarefied_coverage,
+            snp_capacity=SNP_CAPACITY, pos_capacity=POS_CAPACITY)
+        out = jax.device_get(out)
+        for k, (i, pu, rc) in enumerate(items):
+            M, _, L = pu.counts.shape
+            sliced = {
+                grp: {name: np.asarray(v[k]) for name, v in d.items()}
+                for grp, d in out.items()
+            }
+            results[i] = CompactStats.__new__(CompactStats)
+            cs = results[i]
+            cs.pileup = pu
+            cs.M, cs.L = M, L
+            cs.rows = sliced["rows"]
+            cs.agg = {kk: v[:M] for kk, v in sliced["agg"].items()}
+            cs.linkage = sliced["linkage"]
+            cs.masks = sliced["masks"]
+            if int(cs.rows["n_rows"]) > len(cs.rows["pos"]):
+                raise RuntimeError("SNP row capacity exceeded")
+            if int(cs.linkage["n_pos"]) > len(cs.linkage["pos"]):
+                raise RuntimeError("SNV position capacity exceeded")
+    return results
