@@ -1,0 +1,140 @@
+"""
+Pallas TPU kernel: fused per-site statistics.
+
+The XLA version (kernels/sitestats.py) materializes several [M, L] / [M,4,L]
+intermediates in HBM (cum, totals, thresholds, presence masks, clonality).
+This kernel tiles the position axis and keeps the whole per-tile pipeline in
+VMEM: one HBM read of the counts block, one write per output. The mm axis
+(M <= 32) is unrolled inside the tile.
+
+Outputs (per (mm, position) cell, same semantics as sitestats.site_stats):
+  total   int32  cumulative coverage
+  morphia int8   null-model allele count
+  con,var int8   consensus / variant base codes
+  clon    f32    clonality (NaN where unset)
+  row     bool   SNP-row emission mask
+  cls     int8   SNP class code
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .sitestats import (AMBIG, CON_SNV, DIVERGENT, POP_SNV, SNS, SNV)
+
+
+def _kernel(counts_ref, ref_ref, null_ref, freq_ref, out_refs, *, M,
+            min_cov):
+    # counts block: [M, 4, T] int32 in VMEM
+    counts = counts_ref[...]
+    cum = jnp.cumsum(counts, axis=0)                 # [M, 4, T]
+    total = cum.sum(axis=1)                          # [M, T]
+    present = counts.sum(axis=1) > 0
+
+    maxcov = null_ref.shape[0] - 1
+    tc = jnp.minimum(total, maxcov)
+    min_bases = null_ref[tc]
+    freq_min = freq_ref[tc]
+    thresh = jnp.maximum(min_bases, freq_min)
+
+    a, c, t, g = cum[:, 0], cum[:, 1], cum[:, 2], cum[:, 3]
+    morphia = ((a >= thresh).astype(jnp.int8) + (c >= thresh) +
+               (t >= thresh) + (g >= thresh)).astype(jnp.int8)
+
+    # consensus: first max in ACTG order
+    con = jnp.where(
+        (a >= c) & (a >= t) & (a >= g), 0,
+        jnp.where((c >= t) & (c >= g), 1,
+                  jnp.where(t >= g, 2, 3))).astype(jnp.int8)
+    # variant: first max with consensus zeroed
+    az = jnp.where(con == 0, 0, a)
+    cz = jnp.where(con == 1, 0, c)
+    tz = jnp.where(con == 2, 0, t)
+    gz = jnp.where(con == 3, 0, g)
+    var = jnp.where(
+        (az >= cz) & (az >= tz) & (az >= gz), 0,
+        jnp.where((cz >= tz) & (cz >= gz), 1,
+                  jnp.where(tz >= gz, 2, 3))).astype(jnp.int8)
+
+    refb = ref_ref[...].astype(jnp.int32)            # [T]
+    con_is_ref = con.astype(jnp.int32) == refb[None, :]
+    counted = total >= min_cov
+    is_base_call = (morphia > 1) | ((morphia == 1) & ~con_is_ref) | \
+        (morphia == 0)
+    row = present & counted & is_base_call
+
+    # class
+    ref_count = jnp.where(refb[None, :] == 0, a,
+                          jnp.where(refb[None, :] == 1, c,
+                                    jnp.where(refb[None, :] == 2, t, g)))
+    ref_present = (ref_count >= min_bases) & (ref_count >= freq_min)
+    var_is_ref = var.astype(jnp.int32) == refb[None, :]
+    cls = jnp.where(
+        refb[None, :] >= 4, jnp.int8(AMBIG),
+        jnp.where(morphia == 0, jnp.int8(DIVERGENT),
+                  jnp.where(morphia == 1, jnp.int8(SNS),
+                            jnp.where(con_is_ref, jnp.int8(SNV),
+                                      jnp.where(var_is_ref | ref_present,
+                                                jnp.int8(CON_SNV),
+                                                jnp.int8(POP_SNV))))))
+
+    totf = jnp.maximum(total.astype(jnp.float32), 1.0)
+    p2 = ((a.astype(jnp.float32) / totf) ** 2 +
+          (c.astype(jnp.float32) / totf) ** 2 +
+          (t.astype(jnp.float32) / totf) ** 2 +
+          (g.astype(jnp.float32) / totf) ** 2)
+    clon = jnp.where(present & counted, p2, jnp.nan)
+
+    out_refs["total"][...] = total
+    out_refs["morphia"][...] = morphia
+    out_refs["con"][...] = con
+    out_refs["var"][...] = var
+    out_refs["clon"][...] = clon
+    out_refs["row"][...] = row
+    out_refs["cls"][...] = cls
+
+
+@functools.partial(jax.jit, static_argnames=("min_cov", "tile"))
+def pallas_site_stats(counts, ref_codes, null_lut, freq_lut,
+                      min_cov: int = 5, tile: int = 2048):
+    """
+    counts [M, 4, L] int32 (L a multiple of `tile`), ref_codes [L] uint8.
+    Returns dict of [M, L] outputs (see module docstring).
+    """
+    M, B, L = counts.shape
+    assert L % tile == 0, (L, tile)
+    grid = (L // tile,)
+
+    kern = functools.partial(_kernel, M=M, min_cov=min_cov)
+    out_shapes = dict(
+        total=jax.ShapeDtypeStruct((M, L), jnp.int32),
+        morphia=jax.ShapeDtypeStruct((M, L), jnp.int8),
+        con=jax.ShapeDtypeStruct((M, L), jnp.int8),
+        var=jax.ShapeDtypeStruct((M, L), jnp.int8),
+        clon=jax.ShapeDtypeStruct((M, L), jnp.float32),
+        row=jax.ShapeDtypeStruct((M, L), jnp.bool_),
+        cls=jax.ShapeDtypeStruct((M, L), jnp.int8),
+    )
+    ml_spec = pl.BlockSpec((M, tile), lambda i: (0, i),
+                           memory_space=pltpu.VMEM)
+    outs = pl.pallas_call(
+        kern,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((M, 4, tile), lambda i: (0, 0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile,), lambda i: (i,),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs={k: ml_spec for k in out_shapes},
+        out_shape=out_shapes,
+    )(counts, ref_codes, null_lut, freq_lut)
+    return outs
