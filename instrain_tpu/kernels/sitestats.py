@@ -371,3 +371,19 @@ def _compact_from_full(full, counts, snp_capacity, pos_capacity, true_len):
     masks = dict(cryptic=full["cryptic"], any_snp=full["any_snp"],
                  bases_mask=full["bases_mask"])
     return dict(rows=rows, agg=aggregates, linkage=linkage, masks=masks)
+
+
+@jax.jit
+def compact_sizes(full):
+    """Tiny fetch: (#SNP rows, #SNV positions) for capacity selection."""
+    return full["row"].sum(), full["any_snp"].sum()
+
+
+@functools.partial(jax.jit, static_argnames=("snp_capacity", "pos_capacity"))
+def compact_outputs(full, counts, true_len, snp_capacity: int,
+                    pos_capacity: int):
+    """Second phase of the two-phase compact path: gather with capacities
+    sized from compact_sizes (the full dict stays device-resident between
+    the phases, so nothing dense ever crosses the host link)."""
+    return _compact_from_full(full, counts, snp_capacity, pos_capacity,
+                              true_len)

@@ -17,7 +17,9 @@ import jax
 import numpy as np
 import pandas as pd
 
-from ..kernels.sitestats import CLASS_NAMES, site_stats_compact
+from ..kernels.sitestats import (CLASS_NAMES, compact_outputs,
+                                 compact_sizes, site_stats,
+                                 site_stats_compact)
 from .pileup import ScaffoldPileup, _bucket
 from .tables import BASES, cumulative_snv_table, estimate_breadth
 
@@ -61,10 +63,23 @@ class CompactStats:
         return self.masks["cryptic"][:self.L]
 
 
+def _pow2_capacity(n: int, lo: int = 1024, hi: int = 1 << 22) -> int:
+    cap = lo
+    while cap < n and cap < hi:
+        cap <<= 1
+    return cap
+
+
 def run_site_stats_compact(pileup: ScaffoldPileup, ref_codes: np.ndarray,
                            null_lut: np.ndarray, freq_lut: np.ndarray,
                            min_cov: int = 5, rarefied_coverage: int = 50,
                            seed: int = 42) -> CompactStats:
+    """
+    Two-phase compact run: (1) the fused kernel leaves its dense outputs on
+    device and only two scalars (row/position counts) come back; (2) the
+    compaction gather runs with right-sized power-of-two capacities. Total
+    device->host traffic is proportional to the actual number of SNVs.
+    """
     counts = pileup.counts
     M, _, L = counts.shape
     Mp, Lp = max(_bucket(M, 8), 8), max(_bucket(L, 4096), 4096)
@@ -75,12 +90,14 @@ def run_site_stats_compact(pileup: ScaffoldPileup, ref_codes: np.ndarray,
         rp[:L] = ref_codes
         counts, ref_codes = cp, rp
     key = jax.random.fold_in(jax.random.PRNGKey(seed), pileup.rid)
-    out = site_stats_compact(counts, np.ascontiguousarray(ref_codes),
-                             null_lut, freq_lut, key, min_cov=min_cov,
-                             min_covR=rarefied_coverage,
-                             rarefied_draws=rarefied_coverage,
-                             snp_capacity=SNP_CAPACITY,
-                             pos_capacity=POS_CAPACITY, true_len=L)
+    full = site_stats(counts, np.ascontiguousarray(ref_codes), null_lut,
+                      freq_lut, key, min_cov=min_cov,
+                      min_covR=rarefied_coverage,
+                      rarefied_draws=rarefied_coverage)
+    n_rows, n_pos = jax.device_get(compact_sizes(full))
+    out = compact_outputs(full, counts, L,
+                          snp_capacity=_pow2_capacity(int(n_rows)),
+                          pos_capacity=_pow2_capacity(int(n_pos)))
     return CompactStats(pileup, jax.device_get(out), M, L)
 
 
