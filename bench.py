@@ -95,6 +95,7 @@ def main():
     steady = time.time() - t0
 
     pairs_per_sec = n_pairs / steady
+    positions_per_sec = len(refseq) / steady
     result = {
         "metric": "profile_pairs_per_sec",
         "value": round(pairs_per_sec, 1),
@@ -109,6 +110,8 @@ def main():
             "warmup_s": round(warm, 2),
             "steady_s": round(steady, 2),
             "baseline_pairs_per_sec": round(BASELINE_PAIRS_PER_SEC, 1),
+            "positions_per_sec": round(positions_per_sec, 1),
+            "reads_per_sec": round(n_reads / steady, 1),
         },
     }
     print(json.dumps(result))

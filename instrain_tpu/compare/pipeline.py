@@ -98,18 +98,32 @@ def compare(inputs: List[str], cfg: CompareConfig,
                                        scaffolds_to_compare,
                                        input2scaffolds)
 
-    # run comparisons
+    # run comparisons in ~group_length batches (reference:
+    # compare_controller.py:594-609 bounds RAM per group)
     log_checkpoint("Compare", "multiprocessing", "start")
     cdbs, mdbs = [], []
     if not cfg.skip_popANI:
+        group, group_len = [], 0
+        groups = []
         for sc in SCs:
-            try:
-                cdb, mdb = compare_scaffold(sc, null_lut, freq_lut, cfg)
-                cdbs.append(cdb)
-                if mdb is not None:
-                    mdbs.append(mdb)
-            except Exception as e:
-                log_failure("CompareScaffold", sc.scaffold, str(e))
+            group.append(sc)
+            group_len += sc.length
+            if group_len >= cfg.group_length:
+                groups.append(group)
+                group, group_len = [], 0
+        if group:
+            groups.append(group)
+        for gi, grp in enumerate(groups):
+            logging.info(f"Running group {gi + 1} of {len(groups)}")
+            for sc in grp:
+                try:
+                    cdb, mdb = compare_scaffold(sc, null_lut, freq_lut, cfg)
+                    cdbs.append(cdb)
+                    if mdb is not None:
+                        mdbs.append(mdb)
+                except Exception as e:
+                    log_failure("CompareScaffold", sc.scaffold, str(e))
+            _SNP_CACHE.clear()  # purge per-group cache
     log_checkpoint("Compare", "multiprocessing", "end")
 
     comparison_db = (pd.concat(cdbs, sort=False).reset_index(drop=True)

@@ -143,6 +143,18 @@ def profile(bam_path: str, fasta_path: str, cfg: ProfileConfig,
         except Exception as e:  # plots must never fail a profile run
             logging.error(f"Plotting failed: {e}")
 
+    if cfg.debug:
+        # runtime/failure report (reference: controller.py:121-129 +
+        # logUtils.report_run_stats)
+        from ..obs.logging import report_run_stats
+        logloc = isdir.get_location("log") + "log.log"
+        try:
+            report_run_stats(logloc, printToo=False,
+                             output=isdir.get_location("log") +
+                             "runtime_summary.txt")
+        except Exception:
+            logging.debug("run report failed", exc_info=True)
+
     return isdir
 
 
