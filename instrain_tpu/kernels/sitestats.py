@@ -387,3 +387,16 @@ def compact_outputs(full, counts, true_len, snp_capacity: int,
     the phases, so nothing dense ever crosses the host link)."""
     return _compact_from_full(full, counts, snp_capacity, pos_capacity,
                               true_len)
+
+
+@functools.partial(jax.jit, static_argnames=("snp_capacity", "pos_capacity"))
+def compact_outputs_with_dense(full, counts, true_len, snp_capacity: int,
+                               pos_capacity: int):
+    """compact_outputs plus the dense arrays the profile pipeline stores
+    (clonality values for clonT/clonTR, cumulative totals for gene
+    profiling) — everything else stays on device."""
+    out = _compact_from_full(full, counts, snp_capacity, pos_capacity,
+                             true_len)
+    out["dense"] = dict(total=full["total"].astype(jnp.int32),
+                        clon=full["clon"], clonR=full["clonR"])
+    return out

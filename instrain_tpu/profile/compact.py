@@ -18,8 +18,8 @@ import numpy as np
 import pandas as pd
 
 from ..kernels.sitestats import (CLASS_NAMES, compact_outputs,
-                                 compact_sizes, site_stats,
-                                 site_stats_compact)
+                                 compact_outputs_with_dense, compact_sizes,
+                                 site_stats, site_stats_compact)
 from .pileup import ScaffoldPileup, _bucket
 from .tables import BASES, cumulative_snv_table, estimate_breadth
 
@@ -99,6 +99,56 @@ def run_site_stats_compact(pileup: ScaffoldPileup, ref_codes: np.ndarray,
                           snp_capacity=_pow2_capacity(int(n_rows)),
                           pos_capacity=_pow2_capacity(int(n_pos)))
     return CompactStats(pileup, jax.device_get(out), M, L)
+
+
+class HybridStats(CompactStats):
+    """CompactStats plus the dense arrays needed for storage and gene
+    profiling (total / clon / clonR), exposed with the ScaffoldStats
+    attribute names so tables.covT/clonT views and profile/genes work
+    unchanged."""
+
+    @property
+    def total(self):
+        return self.dense["total"][:self.M, :self.L]
+
+    @property
+    def clon(self):
+        return self.dense["clon"][:self.M, :self.L]
+
+    @property
+    def clonR(self):
+        return self.dense["clonR"][:self.M, :self.L]
+
+
+def run_site_stats_hybrid(pileup: ScaffoldPileup, ref_codes: np.ndarray,
+                          null_lut: np.ndarray, freq_lut: np.ndarray,
+                          min_cov: int = 5, rarefied_coverage: int = 50,
+                          seed: int = 42) -> HybridStats:
+    """Two-phase compact run that also fetches the storage-needed dense
+    arrays (~9 MB/scaffold instead of ~40 MB for the full dict)."""
+    counts = pileup.counts
+    M, _, L = counts.shape
+    Mp, Lp = max(_bucket(M, 8), 8), max(_bucket(L, 4096), 4096)
+    if (Mp, Lp) != (M, L):
+        cp = np.zeros((Mp, 4, Lp), counts.dtype)
+        cp[:M, :, :L] = counts
+        rp = np.full(Lp, 4, dtype=ref_codes.dtype)
+        rp[:L] = ref_codes
+        counts, ref_codes = cp, rp
+    key = jax.random.fold_in(jax.random.PRNGKey(seed), pileup.rid)
+    full = site_stats(counts, np.ascontiguousarray(ref_codes), null_lut,
+                      freq_lut, key, min_cov=min_cov,
+                      min_covR=rarefied_coverage,
+                      rarefied_draws=rarefied_coverage)
+    n_rows, n_pos = jax.device_get(compact_sizes(full))
+    out = compact_outputs_with_dense(
+        full, counts, L, snp_capacity=_pow2_capacity(int(n_rows)),
+        pos_capacity=_pow2_capacity(int(n_pos)))
+    out = jax.device_get(out)
+    dense = out.pop("dense")
+    cs = HybridStats(pileup, out, M, L)
+    cs.dense = {k: np.asarray(v) for k, v in dense.items()}
+    return cs
 
 
 def snp_table_compact(cs: CompactStats, ref_codes: np.ndarray

@@ -194,13 +194,28 @@ def _profile_one_scaffold_inner(bam, pairs, registry, name, cfg, null_lut,
                                     -1).astype(np.int32)
 
     ref_codes = registry.codes[name]
-    stats = run_site_stats(pileup, ref_codes, null_lut, freq_lut,
-                           min_cov=cfg.variant.min_cov,
-                           rarefied_coverage=cfg.rarefied_coverage,
-                           seed=cfg.seed)
-    snp = tables.snp_table(stats, ref_codes)
-    csnv = tables.cumulative_snv_table(snp)
-    ctable = tables.coverage_table(stats, snp)
+    engine = cfg.engine
+    if engine == "auto":
+        import jax
+        engine = "dense" if jax.default_backend() == "cpu" else "hybrid"
+    if engine == "hybrid":
+        # device-side compaction + storage-needed dense arrays only
+        from . import compact as compact_mod
+        stats = compact_mod.run_site_stats_hybrid(
+            pileup, ref_codes, null_lut, freq_lut,
+            min_cov=cfg.variant.min_cov,
+            rarefied_coverage=cfg.rarefied_coverage, seed=cfg.seed)
+        snp = compact_mod.snp_table_compact(stats, ref_codes)
+        csnv = tables.cumulative_snv_table(snp)
+        ctable = compact_mod.coverage_table_compact(stats)
+    else:
+        stats = run_site_stats(pileup, ref_codes, null_lut, freq_lut,
+                               min_cov=cfg.variant.min_cov,
+                               rarefied_coverage=cfg.rarefied_coverage,
+                               seed=cfg.seed)
+        snp = tables.snp_table(stats, ref_codes)
+        csnv = tables.cumulative_snv_table(snp)
+        ctable = tables.coverage_table(stats, snp)
     ws = linkage_mod.window_starts_for(L, cfg.window_length)
     ld = linkage_mod.calculate_linkage(stats, ws, min_snp=int(cfg.min_snp),
                                       seed=cfg.seed)
