@@ -245,13 +245,13 @@ def make_comparison_objects(inputs, profiles, names, scaffolds_to_compare,
     return valid, scaffold2length
 
 
-_SNP_CACHE: Dict[int, Dict[str, pd.DataFrame]] = {}
+_SNP_CACHE: Dict[str, Dict[str, pd.DataFrame]] = {}
 
 
 def _load_scaffold_data(prof: ProfileDir, scaffold: str
                         ) -> SampleScaffoldData:
     covT = prof.get("covT", scaffolds=[scaffold]).get(scaffold, {})
-    key = id(prof)
+    key = prof.location
     if key not in _SNP_CACHE:
         db = prof.get("cumulative_snv_table")
         if db is None:

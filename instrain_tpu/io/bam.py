@@ -127,10 +127,22 @@ class BamArrays:
     ev_pos: np.ndarray            # int32
     ev_base: np.ndarray           # uint8
     ev_qual: np.ndarray           # uint8
-    # qnames
-    qnames: Optional[List[str]] = None
+    # qnames (lazy: materializing 10k+ Python strings costs more than the
+    # decode itself; most paths only need counts/ids)
+    _qnames: Optional[List[str]] = None
+    n_qnames: int = 0
     # native handle (kept open for native pileup/count building)
     _handle: Optional[int] = None
+
+    @property
+    def qnames(self) -> Optional[List[str]]:
+        if self._qnames is None and self._handle:
+            lib = _load_lib()
+            nq = lib.bd_n_qnames(self._handle)
+            blob = ct.string_at(lib.bd_qname_blob(self._handle),
+                                lib.bd_qname_blob_len(self._handle))
+            self._qnames = [s.decode() for s in blob.split(b"\0")[:nq]]
+        return self._qnames
 
     def __del__(self):
         self.close()
@@ -253,11 +265,7 @@ def decode_bam(path: str, ref_seqs: Optional[Dict[str, np.ndarray]] = None,
             ev_base=_arr(lib.bd_ev_base(h), ne, np.uint8),
             ev_qual=_arr(lib.bd_ev_qual(h), ne, np.uint8),
         )
-        if load_qnames:
-            nq = lib.bd_n_qnames(h)
-            blob_len = lib.bd_qname_blob_len(h)
-            blob = ct.string_at(lib.bd_qname_blob(h), blob_len)
-            out.qnames = [s.decode() for s in blob.split(b"\0")[:nq]]
+        out.n_qnames = int(lib.bd_n_qnames(h))
         out._handle = h
         h = None  # ownership transferred to BamArrays
         return out

@@ -58,8 +58,7 @@ def build_scaffold_pileup(bam: BamArrays, pairs: PairSet, rid: int,
         return None
     mm_values = np.unique(mms)
     mm_to_idx = {int(m): i for i, m in enumerate(mm_values)}
-    n_q = len(bam.qnames) if bam.qnames is not None else \
-        int(bam.qname_id.max()) + 1
+    n_q = bam.n_qnames or int(bam.qname_id.max()) + 1
     qid2mmidx = np.full(n_q, -1, dtype=np.int32)
     qid2mmidx[qids] = np.array([mm_to_idx[int(m)] for m in mms],
                                dtype=np.int32)

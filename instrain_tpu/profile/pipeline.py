@@ -345,8 +345,7 @@ def _subsample_bam(bam, maximum_reads: int, seed: int):
     if n <= maximum_reads:
         return
     frac = maximum_reads / n
-    n_q = len(bam.qnames) if bam.qnames is not None else \
-        int(bam.qname_id.max()) + 1
+    n_q = bam.n_qnames or int(bam.qname_id.max()) + 1
     rng = np.random.default_rng(seed)
     keep_q = rng.random(n_q) < frac
     keep = keep_q[bam.qname_id]
