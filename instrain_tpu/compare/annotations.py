@@ -38,14 +38,10 @@ def load_annotation_table(locs) -> Dict[str, Set[str]]:
 
 
 def _load_output(isdir: ProfileDir, name: str) -> pd.DataFrame:
-    import glob
-    base = isdir.get_output_base() + name
-    files = glob.glob(base + "*")
-    if not files:
+    try:
+        return isdir.load_output(name)
+    except AssertionError:
         return pd.DataFrame()
-    if name == "mapping_info":
-        return pd.read_csv(files[0], sep="\t", header=1)
-    return pd.read_csv(files[0], sep="\t")
 
 
 def filter_gene_table(gdb, genomes=None, stb=None, min_gene_breadth=0.5):

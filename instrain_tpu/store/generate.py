@@ -182,7 +182,13 @@ def generate(isdir: ProfileDir, name: str, store: bool = True,
     elif name == "mapping_info":
         from ..profile.filter_reads import write_mapping_info
         db = isdir.get("mapping_info")
-        values = isdir.get("mapping_info_values") or {}
+        values = isdir.get("mapping_info_values")
+        if not values:
+            # profiles written by other tools: reconstruct the header from
+            # reference defaults (filter_reads.write_mapping_info semantics)
+            values = {"min_read_ani": 0.95, "max_insert_relative": 3,
+                      "min_insert": 50, "min_mapq": -1,
+                      "pairing_filter": "paired_only"}
         if store and db is not None:
             ft = ".tsv.gz" if force_compress else ".tsv"
             location = isdir.get_output_base() + name + ft

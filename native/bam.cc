@@ -213,6 +213,26 @@ extern "C" BamData* bd_open(const char* path, int threads) {
     }
 
     auto h = new BamData();
+    // reserve: events roughly track decompressed size (2 seq nibbles/byte,
+    // half the record is seq); avoids realloc copy storms on slow memory
+    size_t est_events = data.size();
+    h->ev_pos.reserve(est_events);
+    h->ev_base.reserve(est_events);
+    h->ev_qual.reserve(est_events);
+    h->ev_qpos.reserve(est_events);
+    h->seq_buf.reserve(est_events);
+    h->qual_buf.reserve(est_events);
+    size_t est_records = data.size() / 256 + 64;
+    for (auto* v32 : {&h->ref_id, &h->pos, &h->nm, &h->qlen_infer,
+                      &h->ref_start, &h->ref_end, &h->ev_len, &h->cig_n,
+                      &h->seq_len})
+        v32->reserve(est_records);
+    h->flag.reserve(est_records);
+    h->mapq.reserve(est_records);
+    h->pileup_ok.reserve(est_records);
+    for (auto* v64 : {&h->qname_id, &h->ev_off, &h->cig_off, &h->seq_off})
+        v64->reserve(est_records);
+
     size_t p = 4;
     int32_t l_text; memcpy(&l_text, &data[p], 4); p += 4 + l_text;
     int32_t n_ref; memcpy(&n_ref, &data[p], 4); p += 4;
