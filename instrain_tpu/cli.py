@@ -309,8 +309,8 @@ def main(argv=None):
                 logloc = os.path.join(logloc, "log", "log.log")
             report_run_stats(logloc)
         if args.old_IS:
-            print("Converting v0.x profile objects is not supported; "
-                  "re-profile with instrain_tpu instead.")
+            from .store.legacy import convert_legacy_profile
+            convert_legacy_profile(args.old_IS)
 
     elif op == "check_deps":
         print(gen_dependency_report())

@@ -114,9 +114,12 @@ def profile(bam_path: str, fasta_path: str, cfg: ProfileConfig,
         gene_data = genes_mod.parse_genes(cfg.gene_file)
 
     results: List[ScaffoldProfileResult] = []
+    from ..obs.logging import get_worker_log
     for name in keep:
+        logging.debug(get_worker_log("SplitProfile", name, "start"))
         res = _profile_one_scaffold(bam, pairs, registry, name, cfg,
                                     null_lut, freq_lut, gene_data)
+        logging.debug(get_worker_log("SplitProfile", name, "end"))
         if res is not None:
             results.append(res)
 
