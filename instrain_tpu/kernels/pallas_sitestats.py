@@ -29,29 +29,38 @@ from jax.experimental.pallas import tpu as pltpu
 from .sitestats import (AMBIG, CON_SNV, DIVERGENT, POP_SNV, SNS, SNV)
 
 
-def _kernel(counts_ref, ref_ref, null_ref, freq_ref, out_refs, *, M,
+def _kernel(counts_ref, ref_ref, minb_ref, freqm_ref, out_refs, *, M,
             min_cov):
     # counts block: [M, 4, T] int32 in VMEM
     counts = counts_ref[...]
-    cum = jnp.cumsum(counts, axis=0)                 # [M, 4, T]
-    total = cum.sum(axis=1)                          # [M, T]
-    present = counts.sum(axis=1) > 0
+    # cumulative along the (small, static) mm axis — unrolled adds, since
+    # the Mosaic TPU lowering has no cumsum primitive
+    acc = counts[0]
+    rows = [acc]
+    for i in range(1, M):
+        acc = acc + counts[i]
+        rows.append(acc)
+    cum = jnp.stack(rows, axis=0)                    # [M, 4, T]
+    total = cum.sum(axis=1, dtype=jnp.int32)         # [M, T]
+    present = counts.sum(axis=1, dtype=jnp.int32) > 0
 
-    maxcov = null_ref.shape[0] - 1
-    tc = jnp.minimum(total, maxcov)
-    min_bases = null_ref[tc]
-    freq_min = freq_ref[tc]
+    # Mosaic's gather support is too narrow to index a [10001] LUT from a
+    # [M, T] coverage tile, so the LUT lookups happen in XLA outside the
+    # kernel and arrive as precomputed [M, T] threshold tiles
+    min_bases = minb_ref[...]
+    freq_min = freqm_ref[...]
     thresh = jnp.maximum(min_bases, freq_min)
 
     a, c, t, g = cum[:, 0], cum[:, 1], cum[:, 2], cum[:, 3]
-    morphia = ((a >= thresh).astype(jnp.int8) + (c >= thresh) +
-               (t >= thresh) + (g >= thresh)).astype(jnp.int8)
+    # Mosaic vector arithmetic supports only i16/i32 — keep codes in int32
+    morphia = ((a >= thresh).astype(jnp.int32) + (c >= thresh) +
+               (t >= thresh) + (g >= thresh)).astype(jnp.int32)
 
     # consensus: first max in ACTG order
     con = jnp.where(
         (a >= c) & (a >= t) & (a >= g), 0,
         jnp.where((c >= t) & (c >= g), 1,
-                  jnp.where(t >= g, 2, 3))).astype(jnp.int8)
+                  jnp.where(t >= g, 2, 3))).astype(jnp.int32)
     # variant: first max with consensus zeroed
     az = jnp.where(con == 0, 0, a)
     cz = jnp.where(con == 1, 0, c)
@@ -60,10 +69,10 @@ def _kernel(counts_ref, ref_ref, null_ref, freq_ref, out_refs, *, M,
     var = jnp.where(
         (az >= cz) & (az >= tz) & (az >= gz), 0,
         jnp.where((cz >= tz) & (cz >= gz), 1,
-                  jnp.where(tz >= gz, 2, 3))).astype(jnp.int8)
+                  jnp.where(tz >= gz, 2, 3))).astype(jnp.int32)
 
     refb = ref_ref[...].astype(jnp.int32)            # [T]
-    con_is_ref = con.astype(jnp.int32) == refb[None, :]
+    con_is_ref = con == refb[None, :]
     counted = total >= min_cov
     is_base_call = (morphia > 1) | ((morphia == 1) & ~con_is_ref) | \
         (morphia == 0)
@@ -74,15 +83,15 @@ def _kernel(counts_ref, ref_ref, null_ref, freq_ref, out_refs, *, M,
                           jnp.where(refb[None, :] == 1, c,
                                     jnp.where(refb[None, :] == 2, t, g)))
     ref_present = (ref_count >= min_bases) & (ref_count >= freq_min)
-    var_is_ref = var.astype(jnp.int32) == refb[None, :]
+    var_is_ref = var == refb[None, :]
     cls = jnp.where(
-        refb[None, :] >= 4, jnp.int8(AMBIG),
-        jnp.where(morphia == 0, jnp.int8(DIVERGENT),
-                  jnp.where(morphia == 1, jnp.int8(SNS),
-                            jnp.where(con_is_ref, jnp.int8(SNV),
+        refb[None, :] >= 4, jnp.int32(AMBIG),
+        jnp.where(morphia == 0, jnp.int32(DIVERGENT),
+                  jnp.where(morphia == 1, jnp.int32(SNS),
+                            jnp.where(con_is_ref, jnp.int32(SNV),
                                       jnp.where(var_is_ref | ref_present,
-                                                jnp.int8(CON_SNV),
-                                                jnp.int8(POP_SNV))))))
+                                                jnp.int32(CON_SNV),
+                                                jnp.int32(POP_SNV))))))
 
     totf = jnp.maximum(total.astype(jnp.float32), 1.0)
     p2 = ((a.astype(jnp.float32) / totf) ** 2 +
@@ -111,30 +120,48 @@ def pallas_site_stats(counts, ref_codes, null_lut, freq_lut,
     assert L % tile == 0, (L, tile)
     grid = (L // tile,)
 
+    # the Mosaic TPU lowering rejects 64-bit types (jax_enable_x64 is on
+    # globally for the exact-accumulation paths) — force 32-bit operands
+    counts = counts.astype(jnp.int32)
+    ref_codes = ref_codes.astype(jnp.int32)
+    null_lut = null_lut.astype(jnp.int32)
+    freq_lut = freq_lut.astype(jnp.int32)
+
     kern = functools.partial(_kernel, M=M, min_cov=min_cov)
     out_shapes = dict(
         total=jax.ShapeDtypeStruct((M, L), jnp.int32),
-        morphia=jax.ShapeDtypeStruct((M, L), jnp.int8),
-        con=jax.ShapeDtypeStruct((M, L), jnp.int8),
-        var=jax.ShapeDtypeStruct((M, L), jnp.int8),
+        morphia=jax.ShapeDtypeStruct((M, L), jnp.int32),
+        con=jax.ShapeDtypeStruct((M, L), jnp.int32),
+        var=jax.ShapeDtypeStruct((M, L), jnp.int32),
         clon=jax.ShapeDtypeStruct((M, L), jnp.float32),
         row=jax.ShapeDtypeStruct((M, L), jnp.bool_),
-        cls=jax.ShapeDtypeStruct((M, L), jnp.int8),
+        cls=jax.ShapeDtypeStruct((M, L), jnp.int32),
     )
     ml_spec = pl.BlockSpec((M, tile), lambda i: (0, i),
                            memory_space=pltpu.VMEM)
-    outs = pl.pallas_call(
-        kern,
-        grid=grid,
-        in_specs=[
-            pl.BlockSpec((M, 4, tile), lambda i: (0, 0, i),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((tile,), lambda i: (i,),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-        ],
-        out_specs={k: ml_spec for k in out_shapes},
-        out_shape=out_shapes,
-    )(counts, ref_codes, null_lut, freq_lut)
+    # trace with x64 disabled: Mosaic rejects 64-bit types, and numpy-style
+    # helpers (sum, take_along_axis) otherwise promote to int64 because
+    # jax_enable_x64 is on globally for the exact-accumulation paths
+    # LUT lookups in XLA (gathers Mosaic cannot lower); [M, L] int32 each
+    total = counts.sum(axis=1, dtype=jnp.int32)
+    total = jnp.cumsum(total, axis=0)
+    tc = jnp.minimum(total, null_lut.shape[0] - 1)
+    min_bases = null_lut[tc].astype(jnp.int32)
+    freq_min = freq_lut[tc].astype(jnp.int32)
+
+    with jax.enable_x64(False):
+        outs = pl.pallas_call(
+            kern,
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((M, 4, tile), lambda i: (0, 0, i),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((tile,), lambda i: (i,),
+                             memory_space=pltpu.VMEM),
+                ml_spec,
+                ml_spec,
+            ],
+            out_specs={k: ml_spec for k in out_shapes},
+            out_shape=out_shapes,
+        )(counts, ref_codes, min_bases, freq_min)
     return outs
