@@ -102,6 +102,7 @@ def compare(inputs: List[str], cfg: CompareConfig,
     # compare_controller.py:594-609 bounds RAM per group)
     log_checkpoint("Compare", "multiprocessing", "start")
     cdbs, mdbs = [], []
+    scaff2pair2mm2overlap = {} if cfg.store_coverage_overlap else None
     if not cfg.skip_popANI:
         group, group_len = [], 0
         groups = []
@@ -117,10 +118,13 @@ def compare(inputs: List[str], cfg: CompareConfig,
             logging.info(f"Running group {gi + 1} of {len(groups)}")
             for sc in grp:
                 try:
-                    cdb, mdb = compare_scaffold(sc, null_lut, freq_lut, cfg)
+                    cdb, mdb, p2o = compare_scaffold(sc, null_lut,
+                                                     freq_lut, cfg)
                     cdbs.append(cdb)
                     if mdb is not None:
                         mdbs.append(mdb)
+                    if scaff2pair2mm2overlap is not None and p2o:
+                        scaff2pair2mm2overlap[sc.scaffold] = p2o
                 except Exception as e:
                     log_failure("CompareScaffold", sc.scaffold, str(e))
             _SNP_CACHE.clear()  # purge per-group cache
@@ -189,6 +193,11 @@ def compare(inputs: List[str], cfg: CompareConfig,
         out.store("pairwise_SNP_locations", mismatch_db, "pandas",
                   "A dataframe of scaffold, IS pair, mm, SNP locations")
         gen.generate(out, "pairwise_SNP_locations")
+    if scaff2pair2mm2overlap:
+        # reference: compare_controller.py:377-379
+        out.store("scaff2pair2mm2cov", scaff2pair2mm2overlap, "special",
+                  "A dictionary of scaffold -> IS pair -> mm level -> "
+                  "positions with coverage overlap")
 
     if genomelevel is not None and not cfg.skip_plot_generation:
         try:
@@ -274,21 +283,25 @@ def compare_scaffold(sc: ScaffoldComparison, null_lut, freq_lut,
     datas = [_load_scaffold_data(p, sc.scaffold) for p in sc.profiles]
     table = defaultdict(list)
     mdbs = []
+    pair2mm2overlap = {}
     n = len(sc.names)
     for i in range(n):
         for j in range(i, n):
             if i == j and not cfg.include_self_comparisons:
                 continue
-            rows, mdb = _compare_pair(
+            rows, mdb, mm2ov = _compare_pair(
                 sc, datas[i], datas[j], sc.names[i], sc.names[j],
                 null_lut, freq_lut, cfg)
             for k, v in rows.items():
                 table[k].extend(v)
             if cfg.store_mismatch_locations and mdb is not None:
                 mdbs.append(mdb)
+            if mm2ov is not None:
+                key = "-vs-".join(sorted([sc.names[i], sc.names[j]]))
+                pair2mm2overlap[key] = mm2ov
     cdb = pd.DataFrame(table)
     mdb = pd.concat(mdbs, sort=False) if mdbs else None
-    return cdb, mdb
+    return cdb, mdb, pair2mm2overlap
 
 
 def _dedupe_snp(snp: pd.DataFrame) -> pd.DataFrame:
@@ -373,7 +386,11 @@ def _compare_pair(sc, d1, d2, name1, name2, null_lut, freq_lut, cfg):
                 mrows["scaffold"] = sc.scaffold
                 mdb_rows.append(mrows)
     mdb = pd.concat(mdb_rows, sort=False) if mdb_rows else None
-    return rows, mdb
+    # positions covered >= min_cov in both samples, per mm
+    # (reference: readComparer.py:118-119 via calc_mm2overlap)
+    mm2ov = ({mm: np.flatnonzero(both[k]) for k, mm in enumerate(mms)}
+             if cfg.store_coverage_overlap else None)
+    return rows, mdb, mm2ov
 
 
 def _call_pair_snps(s1, s2, pos_union, null_lut, freq_lut, min_freq):

@@ -72,7 +72,7 @@ def test_compare_pair_matches_oracle(luts, oracle, i, j, ref_null_model):
         sc = ScaffoldComparison(scaff, L)
         sc.names = ["s1", "s2"]
         sc.profiles = [p1, p2]
-        ours, our_mdb = compare_scaffold(sc, null_lut, freq_lut, cfg)
+        ours, our_mdb, _ = compare_scaffold(sc, null_lut, freq_lut, cfg)
 
         covTs = [p.get("covT", scaffolds=[scaff])[scaff] for p in (p1, p2)]
         snps = [_snp_for(p, scaff) for p in (p1, p2)]

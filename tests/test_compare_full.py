@@ -138,3 +138,26 @@ def test_min_genome_coverage(tmp_path, sars_bam, sars_ref_seq,
     # empty ISP and exits cleanly, controller.py:440-443)
     isdir = profile(sars_bam, str(fasta), cfg)
     assert isdir.get("scaffold_list") == []
+
+
+def test_store_coverage_overlap(two_profiles, tmp_path):
+    """--store_coverage_overlap persists scaffold->pair->mm->positions
+    (reference: compare_controller.py:377-379)."""
+    from instrain_tpu.compare.pipeline import compare
+    from instrain_tpu.config import CompareConfig
+    from instrain_tpu.store.profile_dir import ProfileDir
+    outs, fasta, bams = two_profiles
+    out = str(tmp_path / "RC_covov")
+    cfg = CompareConfig(output=out, skip_plot_generation=True,
+                        store_coverage_overlap=True)
+    compare(outs, cfg)
+    rc = ProfileDir(out)
+    s2p2m = rc.get("scaff2pair2mm2cov")
+    assert s2p2m, "no overlap stored"
+    scaff = next(iter(s2p2m))
+    pair = next(iter(s2p2m[scaff]))
+    assert "-vs-" in pair
+    mm2pos = s2p2m[scaff][pair]
+    positions = next(iter(mm2pos.values()))
+    assert len(positions) > 0
+    assert all(isinstance(p, (int,)) or int(p) >= 0 for p in positions)
