@@ -250,19 +250,21 @@ def site_stats_compact(counts, ref_codes, null_lut, freq_lut, rng_key,
 @functools.partial(
     jax.jit,
     static_argnames=("min_cov", "min_covR", "rarefied_draws",
-                     "snp_capacity", "pos_capacity"))
+                     "snp_capacity", "pos_capacity", "with_dense"))
 def site_stats_compact_batch(counts, ref_codes, lens, null_lut, freq_lut,
                              rng_keys, min_cov: int = 5, min_covR: int = 50,
                              rarefied_draws: int = 50,
                              snp_capacity: int = 16384,
-                             pos_capacity: int = 8192):
+                             pos_capacity: int = 8192,
+                             with_dense: bool = False):
     """counts [S, M, 4, L], ref_codes [S, L], lens [S], rng_keys [S]."""
 
     def one(c, r, l, k):
         return _site_stats_compact_traced(
             c, r, null_lut, freq_lut, k, l, min_cov=min_cov,
             min_covR=min_covR, rarefied_draws=rarefied_draws,
-            snp_capacity=snp_capacity, pos_capacity=pos_capacity)
+            snp_capacity=snp_capacity, pos_capacity=pos_capacity,
+            with_dense=with_dense)
 
     return jax.vmap(one)(counts, ref_codes, lens, rng_keys)
 
@@ -275,8 +277,12 @@ def _site_stats_compact_traced(counts, ref_codes, null_lut, freq_lut,
                                   rng_key, min_cov=kw["min_cov"],
                                   min_covR=kw["min_covR"],
                                   rarefied_draws=kw["rarefied_draws"])
-    return _compact_from_full(full, counts, kw["snp_capacity"],
-                              kw["pos_capacity"], true_len)
+    out = _compact_from_full(full, counts, kw["snp_capacity"],
+                             kw["pos_capacity"], true_len)
+    if kw.get("with_dense"):
+        out["dense"] = dict(total=full["total"].astype(jnp.int32),
+                            clon=full["clon"], clonR=full["clonR"])
+    return out
 
 
 def _compact_from_full(full, counts, snp_capacity, pos_capacity, true_len):

@@ -236,15 +236,19 @@ def coverage_table_compact(cs: CompactStats) -> pd.DataFrame:
 def run_site_stats_compact_batch(pileups, ref_codes_list, null_lut,
                                  freq_lut, min_cov: int = 5,
                                  rarefied_coverage: int = 50,
-                                 seed: int = 42):
+                                 seed: int = 42, with_dense: bool = False,
+                                 max_chunk_bytes: int = 32 << 20):
     """
     Batch same-bucket scaffolds through one kernel launch.
 
     Groups pileups by padded (M, L) bucket, stacks each bucket into
     [S, Mp, 4, Lp] and vmaps the compact kernel — one device round-trip
-    per bucket instead of per scaffold.
+    per bucket instead of per scaffold.  With `with_dense` the dense
+    total/clon/clonR arrays ride along and the results are HybridStats
+    (usable by the full profile pipeline); buckets are chunked so one
+    launch moves at most ~max_chunk_bytes of dense output.
 
-    Returns {scaffold_name: CompactStats} in input order.
+    Returns list of CompactStats/HybridStats in input order.
     """
     import jax
 
@@ -255,42 +259,54 @@ def run_site_stats_compact_batch(pileups, ref_codes_list, null_lut,
         buckets.setdefault((Mp, Lp), []).append((i, pu, rc))
 
     results = [None] * len(pileups)
+    from ..kernels.sitestats import site_stats_compact_batch
     for (Mp, Lp), items in buckets.items():
-        S = len(items)
-        counts = np.zeros((S, Mp, 4, Lp), np.int32)
-        refs = np.full((S, Lp), 4, np.uint8)
-        lens = np.zeros(S, np.int64)
-        keys = []
-        for k, (i, pu, rc) in enumerate(items):
-            M, _, L = pu.counts.shape
-            counts[k, :M, :, :L] = pu.counts
-            refs[k, :L] = rc
-            lens[k] = L
-            keys.append(jax.random.fold_in(jax.random.PRNGKey(seed),
-                                           pu.rid))
-        from ..kernels.sitestats import site_stats_compact_batch
-        out = site_stats_compact_batch(
-            counts, refs, lens, null_lut, freq_lut, np.stack(keys),
-            min_cov=min_cov, min_covR=rarefied_coverage,
-            rarefied_draws=rarefied_coverage,
-            snp_capacity=SNP_CAPACITY, pos_capacity=POS_CAPACITY)
-        out = jax.device_get(out)
-        for k, (i, pu, rc) in enumerate(items):
-            M, _, L = pu.counts.shape
-            sliced = {
-                grp: {name: np.asarray(v[k]) for name, v in d.items()}
-                for grp, d in out.items()
-            }
-            results[i] = CompactStats.__new__(CompactStats)
-            cs = results[i]
-            cs.pileup = pu
-            cs.M, cs.L = M, L
-            cs.rows = sliced["rows"]
-            cs.agg = {kk: v[:M] for kk, v in sliced["agg"].items()}
-            cs.linkage = sliced["linkage"]
-            cs.masks = sliced["masks"]
-            if int(cs.rows["n_rows"]) > len(cs.rows["pos"]):
-                raise RuntimeError("SNP row capacity exceeded")
-            if int(cs.linkage["n_pos"]) > len(cs.linkage["pos"]):
-                raise RuntimeError("SNV position capacity exceeded")
+        per_scaffold = Mp * Lp * (12 if with_dense else 4) + 4 * Mp * 4 * Lp
+        chunk = max(1, max_chunk_bytes // per_scaffold)
+        for c0 in range(0, len(items), chunk):
+            part = items[c0:c0 + chunk]
+            S = len(part)
+            counts = np.zeros((S, Mp, 4, Lp), np.int32)
+            refs = np.full((S, Lp), 4, np.uint8)
+            lens = np.zeros(S, np.int64)
+            keys = []
+            for k, (i, pu, rc) in enumerate(part):
+                M, _, L = pu.counts.shape
+                counts[k, :M, :, :L] = pu.counts
+                refs[k, :L] = rc
+                lens[k] = L
+                keys.append(jax.random.fold_in(jax.random.PRNGKey(seed),
+                                               pu.rid))
+            out = site_stats_compact_batch(
+                counts, refs, lens, null_lut, freq_lut, np.stack(keys),
+                min_cov=min_cov, min_covR=rarefied_coverage,
+                rarefied_draws=rarefied_coverage,
+                snp_capacity=SNP_CAPACITY, pos_capacity=POS_CAPACITY,
+                with_dense=with_dense)
+            out = jax.device_get(out)
+            dense = out.pop("dense", None)
+            for k, (i, pu, rc) in enumerate(part):
+                M, _, L = pu.counts.shape
+                sliced = {
+                    grp: {name: np.asarray(v[k]) for name, v in d.items()}
+                    for grp, d in out.items()
+                }
+                cls = HybridStats if with_dense else CompactStats
+                results[i] = cs = cls.__new__(cls)
+                cs.pileup = pu
+                cs.M, cs.L = M, L
+                cs.rows = sliced["rows"]
+                cs.agg = {kk: v[:M] for kk, v in sliced["agg"].items()}
+                cs.linkage = sliced["linkage"]
+                cs.masks = sliced["masks"]
+                if with_dense:
+                    cs.dense = {kk: np.asarray(v[k])
+                                for kk, v in dense.items()}
+                if (int(cs.rows["n_rows"]) > len(cs.rows["pos"]) or
+                        int(cs.linkage["n_pos"]) >
+                        len(cs.linkage["pos"])):
+                    # this scaffold overflowed the fixed batch capacity;
+                    # the caller re-runs it on the right-sizing
+                    # per-scaffold path
+                    results[i] = None
     return results

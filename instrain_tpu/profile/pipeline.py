@@ -115,13 +115,31 @@ def profile(bam_path: str, fasta_path: str, cfg: ProfileConfig,
 
     results: List[ScaffoldProfileResult] = []
     from ..obs.logging import get_worker_log
-    for name in keep:
-        logging.debug(get_worker_log("SplitProfile", name, "start"))
-        res = _profile_one_scaffold(bam, pairs, registry, name, cfg,
-                                    null_lut, freq_lut, gene_data)
-        logging.debug(get_worker_log("SplitProfile", name, "end"))
-        if res is not None:
-            results.append(res)
+    engine = cfg.engine
+    if engine == "auto":
+        import jax
+        if jax.default_backend() == "cpu":
+            engine = "dense"
+        else:
+            # many small scaffolds amortize much better through the
+            # vmapped batch kernel (one launch per shape bucket)
+            engine = "batch" if len(keep) >= 16 else "hybrid"
+    if engine == "batch" and len(keep) > 1:
+        results = _profile_scaffolds_batched(bam, pairs, registry, keep,
+                                             cfg, null_lut, freq_lut,
+                                             gene_data)
+    else:
+        if engine == "batch":
+            engine = "hybrid"
+        cfg_engine, cfg.engine = cfg.engine, engine
+        for name in keep:
+            logging.debug(get_worker_log("SplitProfile", name, "start"))
+            res = _profile_one_scaffold(bam, pairs, registry, name, cfg,
+                                        null_lut, freq_lut, gene_data)
+            logging.debug(get_worker_log("SplitProfile", name, "end"))
+            if res is not None:
+                results.append(res)
+        cfg.engine = cfg_engine
 
     _store_results(isdir, results, bam_path, cfg, gene_data)
     log_checkpoint("main_profile", "profile_scaffolds", "end")
@@ -208,14 +226,23 @@ def _profile_one_scaffold_inner(bam, pairs, registry, name, cfg, null_lut,
             pileup, ref_codes, null_lut, freq_lut,
             min_cov=cfg.variant.min_cov,
             rarefied_coverage=cfg.rarefied_coverage, seed=cfg.seed)
-        snp = compact_mod.snp_table_compact(stats, ref_codes)
-        csnv = tables.cumulative_snv_table(snp)
-        ctable = compact_mod.coverage_table_compact(stats)
     else:
         stats = run_site_stats(pileup, ref_codes, null_lut, freq_lut,
                                min_cov=cfg.variant.min_cov,
                                rarefied_coverage=cfg.rarefied_coverage,
                                seed=cfg.seed)
+    return _result_from_stats(name, L, stats, ref_codes, cfg, gene_data)
+
+
+def _result_from_stats(name, L, stats, ref_codes, cfg, gene_data):
+    """Tables + linkage + genes from per-scaffold stats (compact or
+    dense)."""
+    from . import compact as compact_mod
+    if isinstance(stats, compact_mod.CompactStats):
+        snp = compact_mod.snp_table_compact(stats, ref_codes)
+        csnv = tables.cumulative_snv_table(snp)
+        ctable = compact_mod.coverage_table_compact(stats)
+    else:
         snp = tables.snp_table(stats, ref_codes)
         csnv = tables.cumulative_snv_table(snp)
         ctable = tables.coverage_table(stats, snp)
@@ -239,6 +266,65 @@ def _profile_one_scaffold_inner(bam, pairs, registry, name, cfg, null_lut,
         name=name, length=L, stats=stats, snp_table=snp,
         cumulative_snv_table=csnv, cumulative_scaffold_table=ctable,
         linkage_table=ld, gene_results=gene_results)
+
+
+def _profile_scaffolds_batched(bam, pairs, registry, keep, cfg, null_lut,
+                               freq_lut, gene_data):
+    """Many-scaffold path: one vmapped kernel launch per (M, L) shape
+    bucket instead of one per scaffold (metagenome assemblies commonly
+    have thousands of small contigs; per-launch dispatch would dominate).
+    Scaffolds that overflow the fixed batch capacities transparently
+    re-run on the right-sizing per-scaffold path."""
+    from ..obs.logging import get_worker_log, log_failure
+    from . import compact as compact_mod
+
+    pileups, codes, metas = [], [], []
+    for name in keep:
+        logging.debug(get_worker_log("SplitProfile", name, "start"))
+        rid = bam.name_to_ref_id.get(name)
+        if rid is None:
+            continue
+        L = registry.length_of(name)
+        try:
+            pu = build_scaffold_pileup(bam, pairs, rid, L)
+        except Exception as e:
+            log_failure("SplitException", name, str(e))
+            continue
+        if pu is None:
+            continue
+        if cfg.skip_mm_profiling:
+            pu.counts = pu.counts.sum(axis=0, keepdims=True)
+            pu.mm_values = np.array([0])
+            pu.qid2mmidx = np.where(pu.qid2mmidx >= 0, 0,
+                                    -1).astype(np.int32)
+        pileups.append(pu)
+        codes.append(registry.codes[name])
+        metas.append((name, L))
+
+    if not pileups:
+        return []
+    stats_list = compact_mod.run_site_stats_compact_batch(
+        pileups, codes, null_lut, freq_lut,
+        min_cov=cfg.variant.min_cov,
+        rarefied_coverage=cfg.rarefied_coverage, seed=cfg.seed,
+        with_dense=True)
+
+    results = []
+    for pu, rc, (name, L), stats in zip(pileups, codes, metas, stats_list):
+        try:
+            if stats is None:  # batch capacity overflow -> right-size
+                stats = compact_mod.run_site_stats_hybrid(
+                    pu, rc, null_lut, freq_lut,
+                    min_cov=cfg.variant.min_cov,
+                    rarefied_coverage=cfg.rarefied_coverage,
+                    seed=cfg.seed)
+            results.append(_result_from_stats(name, L, stats, rc, cfg,
+                                              gene_data))
+        except Exception as e:
+            log_failure("SplitException", name, str(e))
+            logging.error(f"whole scaffold exception- {name}")
+        logging.debug(get_worker_log("SplitProfile", name, "end"))
+    return results
 
 
 def _store_results(isdir: ProfileDir, results, bam_path, cfg, gene_data):

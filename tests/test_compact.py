@@ -68,3 +68,45 @@ def test_transfer_size_is_small(both_stats):
         for v in group.values():
             total += np.asarray(v).nbytes
     assert total < 12 * 1024 * 1024, total
+
+
+def test_batch_engine_matches_dense(tmp_path, ref_null_model):
+    """engine='batch' (vmapped bucket kernel + dense ride-along) produces
+    the same profile as engine='dense' on a multi-scaffold BAM."""
+    import os
+    import pandas as pd
+    from instrain_tpu.config import ProfileConfig
+    from instrain_tpu.profile.pipeline import profile
+
+    D = "/root/reference/test/test_data/"
+    bam = D + "N5_271_010G1_scaffold_failureScaffold.sorted.bam"
+    fasta = D + "N5_271_010G1_scaffold_failureScaffold.fa"
+    if not os.path.exists(bam):
+        import pytest
+        pytest.skip("test data missing")
+
+    outs = {}
+    for engine in ("dense", "batch"):
+        cfg = ProfileConfig(output=str(tmp_path / engine),
+                            skip_plot_generation=True,
+                            skip_genome_wide=True)
+        cfg.engine = engine
+        cfg.variant.null_model = ref_null_model
+        outs[engine] = profile(bam, fasta, cfg)
+
+    for tbl in ("cumulative_snv_table", "cumulative_scaffold_table",
+                "raw_linkage_table"):
+        a = outs["dense"].get(tbl).reset_index(drop=True)
+        b = outs["batch"].get(tbl).reset_index(drop=True)
+        pd.testing.assert_frame_equal(
+            a.sort_values(list(a.columns[:3])).reset_index(drop=True),
+            b.sort_values(list(b.columns[:3])).reset_index(drop=True),
+            check_dtype=False, check_exact=False, rtol=1e-4)
+
+    covA = outs["dense"].get("covT")
+    covB = outs["batch"].get("covT")
+    assert set(covA) == set(covB)
+    for s in covA:
+        assert set(covA[s]) == set(covB[s])
+        for mm in covA[s]:
+            pd.testing.assert_series_equal(covA[s][mm], covB[s][mm])
