@@ -121,6 +121,35 @@ def report_run_stats(logloc: str, printToo: bool = True,
                                  f"{t1 - t0:10.1f}s")
                 except (ValueError, IndexError):
                     pass
+        # per-worker-class report (reference: gen_multiprocessing_report
+        # / gen_multiprocessing_text, logUtils.py:425-585)
+        wdb = ldb[ldb.log_type == "worker"]
+        for klass, db in wdb.groupby("class"):
+            durs, rams = [], []
+            for unit, udb in db.groupby("name"):
+                try:
+                    s = udb[udb.status == "start"]["rest"].iloc[0].split()
+                    e = udb[udb.status == "end"]["rest"].iloc[-1].split()
+                    durs.append((float(e[0]) - float(s[0]), unit))
+                    rams.append(int(e[2]) - int(s[2]))
+                except (ValueError, IndexError):
+                    continue
+            if not durs:
+                continue
+            ds = sorted(d for d, _ in durs)
+            n = len(ds)
+            lines.append(
+                f"\n{klass}: {n} units; total {sum(ds):.1f}s; "
+                f"mean {sum(ds) / n:.2f}s; median {ds[n // 2]:.2f}s; "
+                f"max {ds[-1]:.2f}s")
+            worst = sorted(durs, reverse=True)[:3]
+            lines.append("  slowest: " + ", ".join(
+                f"{u} ({d:.2f}s)" for d, u in worst))
+            if rams:
+                lines.append(f"  RAM use increase: "
+                             f"{humanbytes(sum(rams) / len(rams))} "
+                             f"mean per unit")
+
         fails = ldb[ldb.log_type == "failure"]
         if len(fails):
             lines.append(f"\n{len(fails)} FAILURES:")
@@ -135,3 +164,20 @@ def report_run_stats(logloc: str, printToo: bool = True,
         with open(output, "w") as f:
             f.write(report + "\n")
     return report
+
+
+def humanbytes(B: float) -> str:
+    """Bytes -> human string (reference: logUtils.humanbytes 846-871)."""
+    B = float(B)
+    sign = "-" if B < 0 else ""
+    B = abs(B)
+    KB, MB, GB, TB = 1024, 1024 ** 2, 1024 ** 3, 1024 ** 4
+    if B < KB:
+        return f"{sign}{B:.0f} B"
+    if B < MB:
+        return f"{sign}{B / KB:.2f} KB"
+    if B < GB:
+        return f"{sign}{B / MB:.2f} MB"
+    if B < TB:
+        return f"{sign}{B / GB:.2f} GB"
+    return f"{sign}{B / TB:.2f} TB"

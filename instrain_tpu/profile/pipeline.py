@@ -49,6 +49,30 @@ def profile(bam_path: str, fasta_path: str, cfg: ProfileConfig,
     out_loc = output or cfg.output
     isdir = ProfileDir(out_loc)
 
+    # per-run DEBUG file log (reference: controller.setup_logger writes
+    # <out>/log/log.log; library runs get one too so the runtime report
+    # and `other --run_statistics` work on any profile)
+    _fh = logging.FileHandler(isdir.get_location("log") + "log.log")
+    _fh.setLevel(logging.DEBUG)
+    _fh.setFormatter(logging.Formatter(
+        "%(asctime)s %(levelname)-8s %(message)s",
+        datefmt="%y-%m-%d %H:%M:%S"))
+    _fh.addFilter(lambda r: not r.name.startswith(("jax", "matplotlib")))
+    _root = logging.getLogger("")
+    _old_level = _root.level
+    if _old_level > logging.DEBUG:
+        _root.setLevel(logging.DEBUG)
+    _root.addHandler(_fh)
+    try:
+        return _profile_impl(bam_path, fasta_path, cfg, isdir)
+    finally:
+        _root.removeHandler(_fh)
+        _root.setLevel(_old_level)
+        _fh.close()
+
+
+def _profile_impl(bam_path: str, fasta_path: str, cfg: ProfileConfig,
+                  isdir: ProfileDir) -> ProfileDir:
     log_checkpoint("main_profile", "filter_reads", "start")
     registry = fasta_io.ScaffoldRegistry.from_fasta(
         fasta_path, window_length=cfg.window_length,
