@@ -114,9 +114,10 @@ def compare(inputs: List[str], cfg: CompareConfig,
                 group, group_len = [], 0
         if group:
             groups.append(group)
+        from tqdm import tqdm
         for gi, grp in enumerate(groups):
             logging.info(f"Running group {gi + 1} of {len(groups)}")
-            for sc in grp:
+            for sc in tqdm(grp, desc="Comparing scaffolds", disable=None):
                 try:
                     cdb, mdb, p2o = compare_scaffold(sc, null_lut,
                                                      freq_lut, cfg)

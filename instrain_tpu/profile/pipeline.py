@@ -156,7 +156,8 @@ def _profile_impl(bam_path: str, fasta_path: str, cfg: ProfileConfig,
         if engine == "batch":
             engine = "hybrid"
         cfg_engine, cfg.engine = cfg.engine, engine
-        for name in keep:
+        from tqdm import tqdm
+        for name in tqdm(keep, desc="Profiling splits", disable=None):
             logging.debug(get_worker_log("SplitProfile", name, "start"))
             res = _profile_one_scaffold(bam, pairs, registry, name, cfg,
                                         null_lut, freq_lut, gene_data)
@@ -302,8 +303,9 @@ def _profile_scaffolds_batched(bam, pairs, registry, keep, cfg, null_lut,
     from ..obs.logging import get_worker_log, log_failure
     from . import compact as compact_mod
 
+    from tqdm import tqdm
     pileups, codes, metas = [], [], []
-    for name in keep:
+    for name in tqdm(keep, desc="Building pileups", disable=None):
         logging.debug(get_worker_log("SplitProfile", name, "start"))
         rid = bam.name_to_ref_id.get(name)
         if rid is None:
@@ -334,7 +336,9 @@ def _profile_scaffolds_batched(bam, pairs, registry, keep, cfg, null_lut,
         with_dense=True)
 
     results = []
-    for pu, rc, (name, L), stats in zip(pileups, codes, metas, stats_list):
+    for pu, rc, (name, L), stats in tqdm(
+            list(zip(pileups, codes, metas, stats_list)),
+            desc="Profiling scaffolds", disable=None):
         try:
             if stats is None:  # batch capacity overflow -> right-size
                 stats = compact_mod.run_site_stats_hybrid(
