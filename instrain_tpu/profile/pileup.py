@@ -110,7 +110,8 @@ def _bucket(n: int, step: int) -> int:
 def run_site_stats(pileup: ScaffoldPileup, ref_codes: np.ndarray,
                    null_lut: np.ndarray, freq_lut: np.ndarray,
                    min_cov: int = 5, rarefied_coverage: int = 50,
-                   seed: int = 42, pad_shapes: bool = True) -> ScaffoldStats:
+                   seed: int = 42, pad_shapes: bool = True,
+                   max_chunk: int = 1 << 20) -> ScaffoldStats:
     """
     Run the site-stats kernel for one scaffold.
 
@@ -118,9 +119,32 @@ def run_site_stats(pileup: ScaffoldPileup, ref_codes: np.ndarray,
     multiples of 4096) so scaffolds share compiled kernels on TPU; padding
     cells carry zero counts / ref code 4 and are masked naturally, and all
     outputs are sliced back to true dimensions.
+
+    Every output is position-local, so scaffolds longer than `max_chunk`
+    are processed in position chunks and concatenated on host — one
+    multi-Mb isolate genome never has to fit the [M, 4, L] working set in
+    device memory at once (the reference bounds this the same way with
+    its 10 kb windows, profile_utilities.py:115-216).
     """
     counts = pileup.counts
     M, _, L = counts.shape
+    if L > max_chunk:
+        parts = []
+        for c0 in range(0, L, max_chunk):
+            c1 = min(c0 + max_chunk, L)
+            sub = ScaffoldPileup.__new__(ScaffoldPileup)
+            sub.__dict__.update(pileup.__dict__)
+            sub.counts = np.ascontiguousarray(counts[:, :, c0:c1])
+            # decorrelate the rarefied-subsample draws per chunk
+            parts.append(run_site_stats(
+                sub, np.ascontiguousarray(ref_codes[c0:c1]), null_lut,
+                freq_lut, min_cov=min_cov,
+                rarefied_coverage=rarefied_coverage,
+                seed=seed + 7919 * (c0 // max_chunk),
+                pad_shapes=pad_shapes, max_chunk=L))
+        arrays = {k: np.concatenate([p.arrays[k] for p in parts], axis=-1)
+                  for k in parts[0].arrays}
+        return ScaffoldStats(pileup=pileup, arrays=arrays)
     if pad_shapes:
         Mp, Lp = max(_bucket(M, 8), 8), max(_bucket(L, 4096), 4096)
         if (Mp, Lp) != (M, L):

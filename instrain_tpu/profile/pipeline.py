@@ -244,6 +244,12 @@ def _profile_one_scaffold_inner(bam, pairs, registry, name, cfg, null_lut,
     if engine == "auto":
         import jax
         engine = "dense" if jax.default_backend() == "cpu" else "hybrid"
+    M, _, Lc = pileup.counts.shape
+    if engine == "hybrid" and M * Lc > (1 << 27):
+        # the one-launch compact path needs the whole [M, 4, L] working
+        # set on device; very long scaffolds go through the
+        # position-chunked dense path instead
+        engine = "dense"
     if engine == "hybrid":
         # device-side compaction + storage-needed dense arrays only
         from . import compact as compact_mod
