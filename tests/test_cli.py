@@ -1,0 +1,130 @@
+"""
+End-to-end CLI smoke tests: every subcommand drives the real pipeline
+through cli.main(argv) on the small test BAM (reference: the v1.9.1 CLI
+surface, argumentParser.py:55-398).
+"""
+
+import os
+
+import pandas as pd
+import pytest
+
+from instrain_tpu import cli
+
+D = "/root/reference/test/test_data/"
+BAM = D + "N5_271_010G1_scaffold_failureScaffold.sorted.bam"
+FASTA = D + "N5_271_010G1_scaffold_failureScaffold.fa"
+GENES = D + "N5_271_010G1_scaffold_failureScaffold.fa.genes.fna.fa"
+
+pytestmark = pytest.mark.skipif(not os.path.exists(BAM),
+                                reason="test data missing")
+
+
+@pytest.fixture(scope="module")
+def cli_profile(tmp_path_factory, ref_null_model):
+    base = tmp_path_factory.mktemp("cli")
+    out = str(base / "prof.IS")
+    stb = base / "g.stb"
+    with open(stb, "w") as f:
+        f.write("N5_271_010G1_scaffold_0\tgenomeA\n")
+        f.write("FailureScaffoldHeaderTesting\tgenomeA\n")
+    rc = cli.main(["profile", BAM, FASTA, "-o", out,
+                   "-g", GENES, "-s", str(stb),
+                   "--null_model", ref_null_model,
+                   "--skip_plot_generation"])
+    assert rc == 0
+    return out, str(stb)
+
+
+def test_profile_outputs(cli_profile):
+    out, _ = cli_profile
+    base = os.path.basename(out.rstrip("/")) + "_"
+    outdir = os.path.join(out, "output")
+    produced = set(os.listdir(outdir))
+    for t in ("SNVs", "scaffold_info", "mapping_info", "gene_info",
+              "genome_info"):
+        assert base + t + ".tsv" in produced, (t, produced)
+    snv = pd.read_csv(os.path.join(outdir, base + "SNVs.tsv"), sep="\t")
+    assert len(snv) > 0
+
+
+def test_genome_wide_cli(cli_profile):
+    out, stb = cli_profile
+    assert cli.main(["genome_wide", "-i", out, "-s", stb]) == 0
+    from instrain_tpu.store.profile_dir import ProfileDir
+    gdb = ProfileDir(out).get("genome_level_info")
+    assert "genomeA" in set(gdb["genome"])
+
+
+def test_profile_genes_cli(cli_profile):
+    out, _ = cli_profile
+    assert cli.main(["profile_genes", "-i", out, "-g", GENES]) == 0
+    from instrain_tpu.store.profile_dir import ProfileDir
+    gdb = ProfileDir(out).get("genes_table")
+    assert len(gdb) > 0
+
+
+def test_plot_cli(cli_profile):
+    out, _ = cli_profile
+    assert cli.main(["plot", "-i", out, "-pl", "1", "2"]) == 0
+    figs = os.listdir(os.path.join(out, "figures"))
+    assert any(f.endswith(".pdf") for f in figs), figs
+
+
+def test_filter_reads_cli(tmp_path):
+    out = str(tmp_path / "fr")
+    assert cli.main(["filter_reads", BAM, FASTA, "-o", out]) == 0
+    assert os.path.exists(os.path.join(out, "mapping_info.csv"))
+
+
+def test_quick_profile_cli(tmp_path):
+    out = str(tmp_path / "qp")
+    assert cli.main(["quick_profile", BAM, FASTA, "-o", out]) == 0
+    files = os.listdir(out)
+    assert any("coverm" in f.lower() or "genomeCoverage" in f
+               for f in files) or files
+
+
+def test_compare_cli(tmp_path, cli_profile, ref_null_model):
+    out1, _ = cli_profile
+    # compare rejects identical bam basenames -> profile a symlinked copy
+    bam2 = tmp_path / "copy2.bam"
+    os.symlink(BAM, bam2)
+    out2 = str(tmp_path / "prof2.IS")
+    assert cli.main(["profile", str(bam2), FASTA, "-o", out2,
+                     "--null_model", ref_null_model,
+                     "--skip_plot_generation", "--skip_genome_wide"]) == 0
+    rc_out = str(tmp_path / "rc")
+    assert cli.main(["compare", "-i", out1, out2, "-o", rc_out,
+                     "--null_model", ref_null_model,
+                     "--skip_plot_generation"]) == 0
+    base = os.path.basename(rc_out.rstrip("/")) + "_"
+    files = os.listdir(os.path.join(rc_out, "output"))
+    assert base + "comparisonsTable.tsv" in files, files
+
+
+def test_parse_annotations_cli(tmp_path, cli_profile):
+    out, _ = cli_profile
+    from instrain_tpu.store.profile_dir import ProfileDir
+    gdb = ProfileDir(out).load_output("gene_info")
+    anno = tmp_path / "anno.csv"
+    with open(anno, "w") as f:
+        f.write("gene,anno\n")
+        for g in gdb["gene"].head(5):
+            f.write(f"{g},K00001\n")
+    pa_out = str(tmp_path / "pa")
+    assert cli.main(["parse_annotations", "-i", out, "-a", str(anno),
+                     "-o", pa_out, "-b", "0"]) == 0
+    files = os.listdir(os.path.join(pa_out, "output"))
+    assert "SampleAnnotationTotals.csv" in files, files
+
+
+def test_other_run_statistics_cli(cli_profile, capsys):
+    out, _ = cli_profile
+    assert cli.main(["other", "--run_statistics", out]) == 0
+    assert "Run report" in capsys.readouterr().out
+
+
+def test_check_deps_cli(capsys):
+    assert cli.main(["check_deps"]) == 0
+    assert "jax" in capsys.readouterr().out
