@@ -149,7 +149,12 @@ class BamArrays:
 
     def close(self):
         if getattr(self, "_handle", None):
-            _load_lib().bd_free(self._handle)
+            try:
+                lib = _load_lib()
+            except Exception:  # interpreter shutdown: ctypes already gone
+                return
+            if lib is not None and getattr(lib, "bd_free", None):
+                lib.bd_free(self._handle)
             self._handle = None
 
     def build_counts(self, rid: int, qid2mmidx: np.ndarray, n_mm: int,

@@ -213,26 +213,7 @@ extern "C" BamData* bd_open(const char* path, int threads) {
     }
 
     auto h = new BamData();
-    // reserve: events roughly track decompressed size (2 seq nibbles/byte,
-    // half the record is seq); avoids realloc copy storms on slow memory
-    size_t est_events = data.size();
-    h->ev_pos.reserve(est_events);
-    h->ev_base.reserve(est_events);
-    h->ev_qual.reserve(est_events);
-    h->ev_qpos.reserve(est_events);
-    h->seq_buf.reserve(est_events);
-    h->qual_buf.reserve(est_events);
-    size_t est_records = data.size() / 256 + 64;
-    for (auto* v32 : {&h->ref_id, &h->pos, &h->nm, &h->qlen_infer,
-                      &h->ref_start, &h->ref_end, &h->ev_len, &h->cig_n,
-                      &h->seq_len})
-        v32->reserve(est_records);
-    h->flag.reserve(est_records);
-    h->mapq.reserve(est_records);
-    h->pileup_ok.reserve(est_records);
-    for (auto* v64 : {&h->qname_id, &h->ev_off, &h->cig_off, &h->seq_off})
-        v64->reserve(est_records);
-
+    // sizes are computed exactly by the count pass below - no reserves
     size_t p = 4;
     int32_t l_text; memcpy(&l_text, &data[p], 4); p += 4 + l_text;
     int32_t n_ref; memcpy(&n_ref, &data[p], 4); p += 4;
@@ -246,77 +227,185 @@ extern "C" BamData* bd_open(const char* path, int threads) {
     h->ref_rec_begin.assign(n_ref, -1);
     h->ref_rec_end.assign(n_ref, -1);
 
-    std::unordered_map<std::string, int64_t> qmap;
-    qmap.reserve(1 << 20);
+    // ---- parallel record parse ----
+    // Pass 0 (serial): record boundaries.
+    std::vector<size_t> roff;
+    roff.reserve(data.size() / 256 + 64);
+    {
+        size_t q = p;
+        while (q + 4 <= data.size()) {
+            int32_t bs; memcpy(&bs, &data[q], 4);
+            if (q + 4 + (size_t)bs > data.size()) break;
+            roff.push_back(q);
+            q += 4 + (size_t)bs;
+        }
+    }
+    const int64_t nrec_raw = (int64_t)roff.size();
+    int T = threads;
+    if (T < 1) T = 1;
+    int hw = (int)std::thread::hardware_concurrency();
+    if (hw >= 1 && T > hw) T = hw;
+    if (T > 16) T = 16;
+    if (nrec_raw < 4096) T = 1;
+    const int64_t per = (nrec_raw + T - 1) / T;
 
-    while (p + 4 <= data.size()) {
-        int32_t block_size; memcpy(&block_size, &data[p], 4); p += 4;
-        if (p + block_size > data.size()) break;
-        const uint8_t* rec = &data[p];
-        p += block_size;
-
-        int32_t refID, rpos, l_seq, next_ref, next_pos, tlen;
-        memcpy(&refID, rec + 0, 4);
-        memcpy(&rpos, rec + 4, 4);
-        uint8_t l_rn = rec[8], mq = rec[9];
-        uint16_t n_cig, fl;
-        memcpy(&n_cig, rec + 12, 2);
-        memcpy(&fl, rec + 14, 2);
-        memcpy(&l_seq, rec + 16, 4);
-        memcpy(&next_ref, rec + 20, 4);
-        memcpy(&next_pos, rec + 24, 4);
-        memcpy(&tlen, rec + 28, 4);
-
-        // skip unmapped / refless records everywhere (the reference skips
-        // reads with no reference positions, filter_reads.py:911-912)
-        if (refID < 0 || (fl & 0x4)) continue;
-
-        const char* qname = (const char*)(rec + 32);
-        const uint32_t* cig = (const uint32_t*)(rec + 32 + l_rn);
-        const uint8_t* seq = rec + 32 + l_rn + 4 * (size_t)n_cig;
-        const uint8_t* qual = seq + (l_seq + 1) / 2;
-        const uint8_t* tags = qual + l_seq;
-        const uint8_t* rec_end = rec + block_size;
-
-        // expand per-base info
-        int64_t ev0 = (int64_t)h->ev_pos.size();
-        int64_t x = rpos;  // ref cursor
-        int64_t y = 0;     // query cursor
-        int32_t qlen = 0;
-        int32_t rstart = -1, rend = -1;
-        for (int k = 0; k < n_cig; ++k) {
-            int op = cg_op(cig[k]);
-            int64_t l = cg_len(cig[k]);
-            if (op == CMATCH || op == CEQUAL || op == CDIFF) {
-                for (int64_t j = 0; j < l; ++j) {
-                    int64_t qi = y + j;
-                    uint8_t nib = (qi & 1) ? (seq[qi >> 1] & 0xf)
-                                           : (seq[qi >> 1] >> 4);
-                    h->ev_pos.push_back((int32_t)(x + j));
-                    h->ev_base.push_back(NIB2CODE[nib]);
-                    h->ev_qual.push_back(qual[qi] == 0xff ? 0 : qual[qi]);
-                    h->ev_qpos.push_back((int32_t)qi);
-                }
-                if (rstart < 0) rstart = (int32_t)x;
-                rend = (int32_t)(x + l - 1);
-                x += l; y += l; qlen += l;
-            } else if (op == CINS) {
-                y += l; qlen += l;
-            } else if (op == CSOFT) {
-                y += l; qlen += l;
-            } else if (op == CDEL || op == CREF_SKIP) {
-                x += l;
+    // Pass 1 (parallel): per-chunk kept-record / event / cigar / seq
+    // tallies under the same skip rules as the fill pass.
+    struct ChunkSz { int64_t rec = 0, ev = 0, cig = 0, seq = 0; };
+    std::vector<ChunkSz> szs(T);
+    auto count_work = [&](int t) {
+        int64_t lo = t * per, hi = std::min(nrec_raw, (t + 1) * per);
+        ChunkSz s;
+        for (int64_t r = lo; r < hi; ++r) {
+            const uint8_t* rec = &data[roff[r] + 4];
+            int32_t refID, l_seq;
+            memcpy(&refID, rec + 0, 4);
+            uint8_t l_rn = rec[8];
+            uint16_t n_cig, fl;
+            memcpy(&n_cig, rec + 12, 2);
+            memcpy(&fl, rec + 14, 2);
+            memcpy(&l_seq, rec + 16, 4);
+            if (refID < 0 || (fl & 0x4)) continue;
+            const uint32_t* cig = (const uint32_t*)(rec + 32 + l_rn);
+            int64_t ev = 0;
+            for (int k = 0; k < n_cig; ++k) {
+                int op = cg_op(cig[k]);
+                if (op == CMATCH || op == CEQUAL || op == CDIFF)
+                    ev += cg_len(cig[k]);
             }
+            if (ev == 0) continue;  // no aligned bases: dropped
+            s.rec += 1; s.ev += ev; s.cig += n_cig; s.seq += l_seq;
         }
-        if (rstart < 0) {
-            // no aligned bases: drop (matches get_reference_positions()==[])
-            h->ev_pos.resize(ev0); h->ev_base.resize(ev0);
-            h->ev_qual.resize(ev0); h->ev_qpos.resize(ev0);
-            continue;
-        }
+        szs[t] = s;
+    };
+    if (T == 1) count_work(0);
+    else {
+        std::vector<std::thread> ts;
+        for (int t = 0; t < T; ++t) ts.emplace_back(count_work, t);
+        for (auto& t : ts) t.join();
+    }
 
-        // qname intern
-        std::string qn(qname, l_rn > 0 ? l_rn - 1 : 0);
+    std::vector<ChunkSz> base(T + 1);
+    for (int t = 0; t < T; ++t) {
+        base[t + 1].rec = base[t].rec + szs[t].rec;
+        base[t + 1].ev = base[t].ev + szs[t].ev;
+        base[t + 1].cig = base[t].cig + szs[t].cig;
+        base[t + 1].seq = base[t].seq + szs[t].seq;
+    }
+    const int64_t NR = base[T].rec, NE = base[T].ev;
+    const int64_t NC = base[T].cig, NS = base[T].seq;
+
+    h->ev_pos.resize(NE); h->ev_base.resize(NE);
+    h->ev_qual.resize(NE); h->ev_qpos.resize(NE);
+    h->seq_buf.resize(NS); h->qual_buf.resize(NS);
+    h->cig_buf.resize(NC);
+    for (auto* v32 : {&h->ref_id, &h->pos, &h->nm, &h->qlen_infer,
+                      &h->ref_start, &h->ref_end, &h->ev_len, &h->cig_n,
+                      &h->seq_len})
+        v32->resize(NR);
+    h->flag.resize(NR); h->mapq.resize(NR); h->pileup_ok.resize(NR);
+    for (auto* v64 : {&h->qname_id, &h->ev_off, &h->cig_off, &h->seq_off})
+        v64->resize(NR);
+    std::vector<std::pair<const char*, uint32_t>> qview(NR);
+
+    // Pass 2 (parallel): full parse, writing at chunk base offsets.
+    auto fill_work = [&](int t) {
+        int64_t lo = t * per, hi = std::min(nrec_raw, (t + 1) * per);
+        int64_t ri = base[t].rec, ei = base[t].ev;
+        int64_t ci = base[t].cig, si = base[t].seq;
+        for (int64_t r = lo; r < hi; ++r) {
+            size_t off = roff[r];
+            int32_t block_size; memcpy(&block_size, &data[off], 4);
+            const uint8_t* rec = &data[off + 4];
+
+            int32_t refID, rpos, l_seq;
+            memcpy(&refID, rec + 0, 4);
+            memcpy(&rpos, rec + 4, 4);
+            uint8_t l_rn = rec[8], mq = rec[9];
+            uint16_t n_cig, fl;
+            memcpy(&n_cig, rec + 12, 2);
+            memcpy(&fl, rec + 14, 2);
+            memcpy(&l_seq, rec + 16, 4);
+            if (refID < 0 || (fl & 0x4)) continue;
+
+            const char* qname = (const char*)(rec + 32);
+            const uint32_t* cig = (const uint32_t*)(rec + 32 + l_rn);
+            const uint8_t* seq = rec + 32 + l_rn + 4 * (size_t)n_cig;
+            const uint8_t* qual = seq + (l_seq + 1) / 2;
+            const uint8_t* tags = qual + l_seq;
+            const uint8_t* rec_end = rec + block_size;
+
+            int64_t ev0 = ei;
+            int64_t x = rpos, y = 0;
+            int32_t qlen = 0, rstart = -1, rend = -1;
+            for (int k = 0; k < n_cig; ++k) {
+                int op = cg_op(cig[k]);
+                int64_t l = cg_len(cig[k]);
+                if (op == CMATCH || op == CEQUAL || op == CDIFF) {
+                    for (int64_t j = 0; j < l; ++j) {
+                        int64_t qi = y + j;
+                        uint8_t nib = (qi & 1) ? (seq[qi >> 1] & 0xf)
+                                               : (seq[qi >> 1] >> 4);
+                        h->ev_pos[ei] = (int32_t)(x + j);
+                        h->ev_base[ei] = NIB2CODE[nib];
+                        h->ev_qual[ei] = qual[qi] == 0xff ? 0 : qual[qi];
+                        h->ev_qpos[ei] = (int32_t)qi;
+                        ++ei;
+                    }
+                    if (rstart < 0) rstart = (int32_t)x;
+                    rend = (int32_t)(x + l - 1);
+                    x += l; y += l; qlen += l;
+                } else if (op == CINS || op == CSOFT) {
+                    y += l; qlen += l;
+                } else if (op == CDEL || op == CREF_SKIP) {
+                    x += l;
+                }
+            }
+            if (rstart < 0) { ei = ev0; continue; }
+
+            qview[ri] = {qname, l_rn > 0 ? (uint32_t)(l_rn - 1) : 0};
+            h->ref_id[ri] = refID;
+            h->pos[ri] = rpos;
+            h->flag[ri] = fl;
+            h->mapq[ri] = mq;
+            h->nm[ri] = parse_nm_tag(tags, rec_end);
+            h->qlen_infer[ri] = qlen;
+            h->ref_start[ri] = rstart;
+            h->ref_end[ri] = rend;
+            h->ev_off[ri] = ev0;
+            h->ev_len[ri] = (int32_t)(ei - ev0);
+            bool orphan = (fl & 0x1) && !(fl & 0x2);
+            h->pileup_ok[ri] = orphan ? 0 : 1;
+
+            h->cig_off[ri] = ci;
+            h->cig_n[ri] = n_cig;
+            memcpy(&h->cig_buf[ci], cig, 4 * (size_t)n_cig);
+            ci += n_cig;
+            h->seq_off[ri] = si;
+            h->seq_len[ri] = l_seq;
+            for (int64_t qi = 0; qi < l_seq; ++qi) {
+                uint8_t nib = (qi & 1) ? (seq[qi >> 1] & 0xf)
+                                       : (seq[qi >> 1] >> 4);
+                h->seq_buf[si] = NIB2CODE[nib];
+                h->qual_buf[si] = qual[qi] == 0xff ? 0 : qual[qi];
+                ++si;
+            }
+            ++ri;
+        }
+    };
+    if (T == 1) fill_work(0);
+    else {
+        std::vector<std::thread> ts;
+        for (int t = 0; t < T; ++t) ts.emplace_back(fill_work, t);
+        for (auto& t : ts) t.join();
+    }
+
+    // Pass 3 (serial): qname intern in record order + per-ref spans.
+    std::unordered_map<std::string, int64_t> qmap;
+    qmap.reserve((size_t)NR);
+    std::string qn;
+    for (int64_t r = 0; r < NR; ++r) {
+        qn.assign(qview[r].first, qview[r].second);
         auto it = qmap.find(qn);
         int64_t qid;
         if (it == qmap.end()) {
@@ -328,37 +417,10 @@ extern "C" BamData* bd_open(const char* path, int threads) {
         } else {
             qid = it->second;
         }
-
-        int64_t ridx = (int64_t)h->ref_id.size();
-        h->ref_id.push_back(refID);
-        h->pos.push_back(rpos);
-        h->flag.push_back(fl);
-        h->mapq.push_back(mq);
-        h->nm.push_back(parse_nm_tag(tags, rec_end));
-        h->qname_id.push_back(qid);
-        h->qlen_infer.push_back(qlen);
-        h->ref_start.push_back(rstart);
-        h->ref_end.push_back(rend);
-        h->ev_off.push_back(ev0);
-        h->ev_len.push_back((int32_t)(h->ev_pos.size() - ev0));
-        // orphan rule: paired but not proper pair -> excluded from pileup
-        bool orphan = (fl & 0x1) && !(fl & 0x2);
-        h->pileup_ok.push_back(orphan ? 0 : 1);
-
-        // store cigar/seq/qual for BAQ
-        h->cig_off.push_back((int64_t)h->cig_buf.size());
-        h->cig_n.push_back(n_cig);
-        h->cig_buf.insert(h->cig_buf.end(), cig, cig + n_cig);
-        h->seq_off.push_back((int64_t)h->seq_buf.size());
-        h->seq_len.push_back(l_seq);
-        for (int64_t qi = 0; qi < l_seq; ++qi) {
-            uint8_t nib = (qi & 1) ? (seq[qi >> 1] & 0xf) : (seq[qi >> 1] >> 4);
-            h->seq_buf.push_back(NIB2CODE[nib]);
-            h->qual_buf.push_back(qual[qi] == 0xff ? 0 : qual[qi]);
-        }
-
-        if (h->ref_rec_begin[refID] < 0) h->ref_rec_begin[refID] = ridx;
-        h->ref_rec_end[refID] = ridx + 1;
+        h->qname_id[r] = qid;
+        int32_t refID = h->ref_id[r];
+        if (h->ref_rec_begin[refID] < 0) h->ref_rec_begin[refID] = r;
+        h->ref_rec_end[refID] = r + 1;
     }
     return h;
 }
@@ -548,6 +610,9 @@ extern "C" void bd_tweak_overlaps_ex(BamData* h, int include_orphans,
      * 0.8x quality. Matching the observed reference behavior, non-proper
      * pairs ("orphans") are not tweaked unless include_orphans is set. */
     (void)legacy_walk;
+    // pair discovery is a cheap serial hash scan; the per-pair quality
+    // rewrites touch disjoint records, so they run in parallel
+    std::vector<std::pair<int64_t, int64_t>> pairs;
     std::unordered_map<int64_t, int64_t> first_rec;  // qname_id -> record
     size_t nref = h->ref_names.size();
     for (size_t ref = 0; ref < nref; ++ref) {
@@ -566,13 +631,29 @@ extern "C" void bd_tweak_overlaps_ex(BamData* h, int include_orphans,
                 first_rec.emplace(h->qname_id[r], r);
                 continue;
             }
-            int64_t a = it->second, b = r;
+            pairs.emplace_back(it->second, r);
             first_rec.erase(it);
+        }
+    }
+    int T = (int)std::thread::hardware_concurrency();
+    if (T > 8) T = 8;
+    if (T < 1 || (int64_t)pairs.size() < 2048) T = 1;
+    size_t perT = (pairs.size() + T - 1) / T;
+    auto work = [&](int t) {
+        size_t lo = t * perT, hi = std::min(pairs.size(), (t + 1) * perT);
+        for (size_t i = lo; i < hi; ++i) {
+            int64_t a = pairs[i].first, b = pairs[i].second;
             tweak_pair_htslib(h, a, b, &h->qual_buf[h->seq_off[a]],
                               &h->qual_buf[h->seq_off[b]]);
             refresh_events(h, a);
             refresh_events(h, b);
         }
+    };
+    if (T == 1) work(0);
+    else {
+        std::vector<std::thread> ts;
+        for (int t = 0; t < T; ++t) ts.emplace_back(work, t);
+        for (auto& t : ts) t.join();
     }
 }
 
