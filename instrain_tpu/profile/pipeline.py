@@ -411,6 +411,11 @@ def _store_results(isdir: ProfileDir, results, bam_path, cfg, gene_data):
                         for r in results]
         isdir.store("counts_table", counts_table, "pickle",
                     "1d numpy array of 2D counts tables for each scaffold")
+        # reference also persists the linkage capture inputs per scaffold
+        # when store_everything (gen_snv_profile 697-707)
+        isdir.store("read_to_snvs",
+                    {r.name: _reads_to_snvs(r.stats) for r in results},
+                    "pickle", "Scaffold -> mm -> read -> SNVs")
 
     # linkage capture structure (reference stores it for pooling/debug)
     s2m2r2s = {}
