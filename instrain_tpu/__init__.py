@@ -25,6 +25,17 @@ __capability_version__ = "1.9.1"
 # 64-bit types: the compact device kernels accumulate integer/float sums
 # exactly (int64/float64) so host-side statistics match numpy float64
 # semantics; dtypes in hot paths remain explicitly 32-bit.
+import os as _os
+
 import jax as _jax
 
 _jax.config.update("jax_enable_x64", True)
+
+# Honor JAX_PLATFORMS even when a site hook (e.g. a TPU-plugin
+# sitecustomize) registered a backend before this process's environment
+# was consulted — subprocesses asking for cpu must get cpu.
+if _os.environ.get("JAX_PLATFORMS"):
+    try:
+        _jax.config.update("jax_platforms", _os.environ["JAX_PLATFORMS"])
+    except Exception:
+        pass
