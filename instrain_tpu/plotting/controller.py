@@ -18,6 +18,8 @@ from ..store.profile_dir import ProfileDir
 def make_plots(isdir: ProfileDir, plots: Union[str, List[str]] = "a",
                **kwargs):
     from . import plots as P
+    if isinstance(isdir, str):
+        isdir = ProfileDir(isdir)
     registry = {
         "1": P.plot_coverage_breadth_vs_mm,
         "2": P.plot_genome_wide_microdiversity,
