@@ -161,3 +161,39 @@ def test_store_coverage_overlap(two_profiles, tmp_path):
     positions = next(iter(mm2pos.values()))
     assert len(positions) > 0
     assert all(isinstance(p, (int,)) or int(p) >= 0 for p in positions)
+
+
+def test_compare_scaffold_and_genome_filters(two_profiles, tmp_path,
+                                             ref_null_model):
+    """-sc scaffold list and --genome restrict the comparison set
+    (reference: compare_controller.py:104-148)."""
+    from instrain_tpu.compare.pipeline import compare
+    outs, fasta, bams = two_profiles
+    stb = tmp_path / "g.stb"
+    with open(stb, "w") as f:
+        f.write("MT039887.1\tsars\n")
+
+    # scaffold list containing the real scaffold -> normal output
+    sc = tmp_path / "scaffs.txt"
+    with open(sc, "w") as f:
+        f.write("MT039887.1\n")
+    cfg = CompareConfig(output=str(tmp_path / "rc_sc"),
+                        null_model=ref_null_model, scaffolds=str(sc),
+                        skip_plot_generation=True)
+    rc = compare(list(outs), cfg)
+    assert len(rc.get("comparisonsTable")) > 0
+
+    # genome filter via stb
+    cfg = CompareConfig(output=str(tmp_path / "rc_gen"),
+                        null_model=ref_null_model, stb=[str(stb)],
+                        genome="sars", skip_plot_generation=True)
+    rc = compare(list(outs), cfg)
+    assert len(rc.get("comparisonsTable")) > 0
+
+    # unknown genome -> hard error
+    cfg = CompareConfig(output=str(tmp_path / "rc_bad"),
+                        null_model=ref_null_model, stb=[str(stb)],
+                        genome="nope", skip_plot_generation=True)
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        compare(list(outs), cfg)
