@@ -46,11 +46,11 @@ def run_once(refseq, luts):
     from instrain_tpu.profile import linkage as linkage_mod
     from instrain_tpu.profile import tables
     from instrain_tpu.profile.filter_reads import filter_reads
-    from instrain_tpu.profile.pileup import build_scaffold_pileup
+    from instrain_tpu.profile.pileup import build_scaffold_pileup_padded
 
     bam = decode_bam(BAM, ref_seqs={"MT039887.1": refseq}, baq=False)
     pairs = filter_reads(bam, ReadFilterConfig())
-    pu = build_scaffold_pileup(bam, pairs, 0, len(refseq))
+    pu = build_scaffold_pileup_padded(bam, pairs, 0, len(refseq))
     rc = seq_to_codes(refseq)
     # compact path: stats + table inputs computed on device, KB-scale
     # device->host transfers

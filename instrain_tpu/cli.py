@@ -85,6 +85,11 @@ def build_parser() -> argparse.ArgumentParser:
     g.add_argument("--window_length", default=10000, type=int)
     g.add_argument("--skip_genome_wide", action="store_true")
     g.add_argument("--skip_plot_generation", action="store_true")
+    g.add_argument("--engine", default="auto",
+                   choices=["auto", "dense", "hybrid", "batch"],
+                   help="kernel path: dense (host arrays, chunked), "
+                        "hybrid (device-side compaction), batch (vmapped "
+                        "same-bucket scaffolds); auto picks by backend")
 
     # ---- compare ----
     p = sub.add_parser("compare")
@@ -190,6 +195,7 @@ def profile_config_from_args(args) -> ProfileConfig:
         skip_mm_profiling=args.skip_mm_profiling, mm_level=args.mm_level,
         gene_file=args.gene_file, stb=args.stb,
         detailed_mapping_info=args.detailed_mapping_info)
+    cfg.engine = getattr(args, "engine", "auto")
     cfg.filter.min_read_ani = args.min_read_ani
     cfg.filter.min_mapq = args.min_mapq
     cfg.filter.max_insert_relative = args.max_insert_relative

@@ -74,6 +74,11 @@ def _load_lib():
     lib.bd_build_counts.argtypes = [
         ct.c_void_p, ct.c_int32, ct.POINTER(ct.c_int32), ct.c_int32,
         ct.c_int64, ct.POINTER(ct.c_int32), ct.c_uint8]
+    lib.bd_build_counts16.restype = ct.c_int32
+    lib.bd_build_counts16.argtypes = [
+        ct.c_void_p, ct.c_int32, ct.POINTER(ct.c_int32), ct.c_int32,
+        ct.c_int64, ct.c_int64, ct.POINTER(ct.c_int16),
+        ct.POINTER(ct.c_int64), ct.POINTER(ct.c_int32), ct.c_uint8]
     lib.bd_select_events.restype = ct.c_int64
     lib.bd_select_events.argtypes = [
         ct.c_void_p, ct.c_int32, ct.POINTER(ct.c_int32),
@@ -170,6 +175,33 @@ class BamArrays:
                             out.ctypes.data_as(ct.POINTER(ct.c_int32)),
                             min_qual)
         return out.reshape(n_mm, 4, L)
+
+    def build_counts_padded(self, rid: int, qid2mmidx: np.ndarray,
+                            n_mm: int, L: int, Lp: int, Mp: int,
+                            min_qual: int = 30):
+        """
+        Native event->counts scatter straight into a padded int16 tensor
+        [Mp, 4, Lp] ready for device transfer (empty mm levels dropped in
+        the same pass). Returns (counts16, level_events[n_mm], level_map)
+        or None if any cell would overflow int16 — the caller falls back
+        to the int32 path (coverage > 32767 at a single exact-mm cell).
+        """
+        assert self._handle, "native handle closed"
+        assert Mp >= n_mm and Lp >= L
+        lib = _load_lib()
+        q = np.ascontiguousarray(qid2mmidx, dtype=np.int32)
+        out = np.zeros(Mp * 4 * Lp, dtype=np.int16)
+        level_events = np.zeros(n_mm, dtype=np.int64)
+        level_map = np.zeros(n_mm, dtype=np.int32)
+        kept = lib.bd_build_counts16(
+            self._handle, rid,
+            q.ctypes.data_as(ct.POINTER(ct.c_int32)), n_mm, L, Lp,
+            out.ctypes.data_as(ct.POINTER(ct.c_int16)),
+            level_events.ctypes.data_as(ct.POINTER(ct.c_int64)),
+            level_map.ctypes.data_as(ct.POINTER(ct.c_int32)), min_qual)
+        if kept < 0:
+            return None
+        return out.reshape(Mp, 4, Lp), level_events, level_map
 
     def select_events(self, rid: int, qid2mmidx: np.ndarray,
                       pos_mask: np.ndarray, min_qual: int = 30,

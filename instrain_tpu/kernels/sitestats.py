@@ -82,6 +82,9 @@ def site_stats(counts, ref_codes, null_lut, freq_lut, rng_key,
     """
     M, B, L = counts.shape
     maxcov = null_lut.shape[0] - 1
+    # int16 inputs (native padded builder, half the transfer bytes) widen
+    # on device before any accumulation
+    counts = counts.astype(jnp.int32)
 
     exact_total = counts.sum(axis=1)                    # [M, L]
     present = exact_total > 0                           # [M, L]

@@ -70,6 +70,29 @@ def _pow2_capacity(n: int, lo: int = 1024, hi: int = 1 << 22) -> int:
     return cap
 
 
+def _padded_inputs(pileup: ScaffoldPileup, ref_codes: np.ndarray):
+    """Bucket-padded (counts, ref_codes) plus true (M, L). Pileups from the
+    native padded builder (true_M set) pass through with no host copy."""
+    counts = pileup.counts
+    if pileup.true_M is not None:
+        M, L = pileup.true_M, pileup.length
+        Lp = counts.shape[2]
+        if Lp != len(ref_codes):
+            rp = np.full(Lp, 4, dtype=ref_codes.dtype)
+            rp[:L] = ref_codes
+            ref_codes = rp
+        return counts, np.ascontiguousarray(ref_codes), M, L
+    M, _, L = counts.shape
+    Mp, Lp = max(_bucket(M, 8), 8), max(_bucket(L, 4096), 4096)
+    if (Mp, Lp) != (M, L):
+        cp = np.zeros((Mp, 4, Lp), counts.dtype)
+        cp[:M, :, :L] = counts
+        rp = np.full(Lp, 4, dtype=ref_codes.dtype)
+        rp[:L] = ref_codes
+        counts, ref_codes = cp, rp
+    return counts, np.ascontiguousarray(ref_codes), M, L
+
+
 def run_site_stats_compact(pileup: ScaffoldPileup, ref_codes: np.ndarray,
                            null_lut: np.ndarray, freq_lut: np.ndarray,
                            min_cov: int = 5, rarefied_coverage: int = 50,
@@ -80,17 +103,12 @@ def run_site_stats_compact(pileup: ScaffoldPileup, ref_codes: np.ndarray,
     compaction gather runs with right-sized power-of-two capacities. Total
     device->host traffic is proportional to the actual number of SNVs.
     """
-    counts = pileup.counts
-    M, _, L = counts.shape
-    Mp, Lp = max(_bucket(M, 8), 8), max(_bucket(L, 4096), 4096)
-    if (Mp, Lp) != (M, L):
-        cp = np.zeros((Mp, 4, Lp), counts.dtype)
-        cp[:M, :, :L] = counts
-        rp = np.full(Lp, 4, dtype=ref_codes.dtype)
-        rp[:L] = ref_codes
-        counts, ref_codes = cp, rp
+    counts, ref_codes, M, L = _padded_inputs(pileup, ref_codes)
     key = jax.random.fold_in(jax.random.PRNGKey(seed), pileup.rid)
-    full = site_stats(counts, np.ascontiguousarray(ref_codes), null_lut,
+    # one host->device transfer of the count tensor; both kernel calls
+    # below reuse the device-resident buffer
+    counts = jax.device_put(counts)
+    full = site_stats(counts, ref_codes, null_lut,
                       freq_lut, key, min_cov=min_cov,
                       min_covR=rarefied_coverage,
                       rarefied_draws=rarefied_coverage)
@@ -126,17 +144,10 @@ def run_site_stats_hybrid(pileup: ScaffoldPileup, ref_codes: np.ndarray,
                           seed: int = 42) -> HybridStats:
     """Two-phase compact run that also fetches the storage-needed dense
     arrays (~9 MB/scaffold instead of ~40 MB for the full dict)."""
-    counts = pileup.counts
-    M, _, L = counts.shape
-    Mp, Lp = max(_bucket(M, 8), 8), max(_bucket(L, 4096), 4096)
-    if (Mp, Lp) != (M, L):
-        cp = np.zeros((Mp, 4, Lp), counts.dtype)
-        cp[:M, :, :L] = counts
-        rp = np.full(Lp, 4, dtype=ref_codes.dtype)
-        rp[:L] = ref_codes
-        counts, ref_codes = cp, rp
+    counts, ref_codes, M, L = _padded_inputs(pileup, ref_codes)
     key = jax.random.fold_in(jax.random.PRNGKey(seed), pileup.rid)
-    full = site_stats(counts, np.ascontiguousarray(ref_codes), null_lut,
+    counts = jax.device_put(counts)
+    full = site_stats(counts, ref_codes, null_lut,
                       freq_lut, key, min_cov=min_cov,
                       min_covR=rarefied_coverage,
                       rarefied_draws=rarefied_coverage)
@@ -254,8 +265,11 @@ def run_site_stats_compact_batch(pileups, ref_codes_list, null_lut,
 
     buckets: Dict = {}
     for i, (pu, rc) in enumerate(zip(pileups, ref_codes_list)):
-        M, _, L = pu.counts.shape
-        Mp, Lp = max(_bucket(M, 8), 8), max(_bucket(L, 4096), 4096)
+        if pu.true_M is not None:
+            Mp, _, Lp = pu.counts.shape
+        else:
+            M, _, L = pu.counts.shape
+            Mp, Lp = max(_bucket(M, 8), 8), max(_bucket(L, 4096), 4096)
         buckets.setdefault((Mp, Lp), []).append((i, pu, rc))
 
     results = [None] * len(pileups)
@@ -266,13 +280,22 @@ def run_site_stats_compact_batch(pileups, ref_codes_list, null_lut,
         for c0 in range(0, len(items), chunk):
             part = items[c0:c0 + chunk]
             S = len(part)
-            counts = np.zeros((S, Mp, 4, Lp), np.int32)
+            # all-int16 parts (native padded builder) transfer half the
+            # bytes; the kernel widens on device
+            all16 = all(pu.counts.dtype == np.int16 for _, pu, _ in part)
+            counts = np.zeros((S, Mp, 4, Lp),
+                              np.int16 if all16 else np.int32)
             refs = np.full((S, Lp), 4, np.uint8)
             lens = np.zeros(S, np.int64)
             keys = []
             for k, (i, pu, rc) in enumerate(part):
-                M, _, L = pu.counts.shape
-                counts[k, :M, :, :L] = pu.counts
+                if pu.true_M is not None and pu.counts.shape[0] == Mp:
+                    counts[k] = pu.counts
+                    L = pu.length
+                else:
+                    ce = pu.counts_exact
+                    M, _, L = ce.shape
+                    counts[k, :M, :, :L] = ce
                 refs[k, :L] = rc
                 lens[k] = L
                 keys.append(jax.random.fold_in(jax.random.PRNGKey(seed),
@@ -286,7 +309,10 @@ def run_site_stats_compact_batch(pileups, ref_codes_list, null_lut,
             out = jax.device_get(out)
             dense = out.pop("dense", None)
             for k, (i, pu, rc) in enumerate(part):
-                M, _, L = pu.counts.shape
+                if pu.true_M is not None:
+                    M, L = pu.true_M, pu.length
+                else:
+                    M, _, L = pu.counts.shape
                 sliced = {
                     grp: {name: np.asarray(v[k]) for name, v in d.items()}
                     for grp, d in out.items()

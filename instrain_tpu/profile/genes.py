@@ -257,7 +257,7 @@ def calc_gene_coverage(gdb: pd.DataFrame, stats: ScaffoldStats
     L = stats.pileup.length
     starts, ends, lens = _gene_ranges(gdb, L)
     total = stats.total.astype(np.float64)         # [M, L] cumulative
-    exact = stats.pileup.counts.sum(axis=1)
+    exact = stats.pileup.counts_exact.sum(axis=1)
     covered = np.cumsum(exact, axis=0) > 0         # [M, L]
 
     csum = np.concatenate([np.zeros((total.shape[0], 1)),

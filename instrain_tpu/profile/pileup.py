@@ -34,12 +34,23 @@ class ScaffoldPileup:
     # event source for linkage capture (lazy; native-backed)
     bam: Optional[BamArrays] = None
     qid2mmidx: Optional[np.ndarray] = None  # int32 per qname -> mm index
+    # set when counts is already bucket-padded ([Mp, 4, Lp] int16 from the
+    # native padded builder); holds the true mm-level count M. `length`
+    # stays the true L. None => counts carries true shapes.
+    true_M: Optional[int] = None
 
     def select_events(self, pos_mask: np.ndarray):
         """(pos, base, mm_idx, qname) of counted bases at masked positions
         — extracted natively from the decoder's event buffers."""
         assert self.bam is not None and self.qid2mmidx is not None
         return self.bam.select_events(self.rid, self.qid2mmidx, pos_mask)
+
+    @property
+    def counts_exact(self) -> np.ndarray:
+        """True-shaped [M, 4, L] view of counts (strips bucket padding)."""
+        if self.true_M is None:
+            return self.counts
+        return self.counts[:self.true_M, :, :self.length]
 
 
 def build_scaffold_pileup(bam: BamArrays, pairs: PairSet, rid: int,
@@ -85,6 +96,48 @@ def build_scaffold_pileup(bam: BamArrays, pairs: PairSet, rid: int,
                           bam=bam, qid2mmidx=qid2mmidx)
 
 
+def build_scaffold_pileup_padded(bam: BamArrays, pairs: PairSet, rid: int,
+                                 length: int, m_step: int = 8,
+                                 l_step: int = 4096
+                                 ) -> Optional[ScaffoldPileup]:
+    """
+    build_scaffold_pileup via the native padded int16 scatter: counts come
+    out already bucket-padded ([Mp, 4, Lp], mm axis to multiples of
+    `m_step`, positions to `l_step`) and transfer-ready — no host padding
+    copy, half the bytes across the host->device link. Falls back to the
+    int32 builder if a cell exceeds int16 (exact-mm coverage > 32767).
+    """
+    qids, mms = pairs.r2m_for_scaffold(rid)
+    if len(qids) == 0:
+        return None
+    mm_values = np.unique(mms)
+    n_mm = len(mm_values)
+    mm_to_idx = {int(m): i for i, m in enumerate(mm_values)}
+    n_q = bam.n_qnames or int(bam.qname_id.max()) + 1
+    qid2mmidx = np.full(n_q, -1, dtype=np.int32)
+    qid2mmidx[qids] = np.array([mm_to_idx[int(m)] for m in mms],
+                               dtype=np.int32)
+
+    Mp_alloc = max(_bucket(n_mm, m_step), m_step)
+    Lp = max(_bucket(length, l_step), l_step)
+    res = bam.build_counts_padded(rid, qid2mmidx, n_mm, length, Lp,
+                                  Mp_alloc)
+    if res is None:                       # int16 overflow: rare, fall back
+        return build_scaffold_pileup(bam, pairs, rid, length)
+    counts, level_events, level_map = res
+    kept = int((level_events > 0).sum())
+    if kept == 0:
+        return None
+    if kept < n_mm:
+        qid2mmidx = np.where(qid2mmidx >= 0, level_map[qid2mmidx],
+                             -1).astype(np.int32)
+        mm_values = mm_values[level_events > 0]
+    Mp = max(_bucket(kept, m_step), m_step)
+    return ScaffoldPileup(name=bam.ref_names[rid], rid=rid, length=length,
+                          mm_values=mm_values, counts=counts[:Mp],
+                          bam=bam, qid2mmidx=qid2mmidx, true_M=kept)
+
+
 @dataclass
 class ScaffoldStats:
     """site_stats outputs materialized to host numpy (see sitestats.py)."""
@@ -126,7 +179,7 @@ def run_site_stats(pileup: ScaffoldPileup, ref_codes: np.ndarray,
     device memory at once (the reference bounds this the same way with
     its 10 kb windows, profile_utilities.py:115-216).
     """
-    counts = pileup.counts
+    counts = pileup.counts_exact
     M, _, L = counts.shape
     if L > max_chunk:
         parts = []
@@ -134,6 +187,7 @@ def run_site_stats(pileup: ScaffoldPileup, ref_codes: np.ndarray,
             c1 = min(c0 + max_chunk, L)
             sub = ScaffoldPileup.__new__(ScaffoldPileup)
             sub.__dict__.update(pileup.__dict__)
+            sub.true_M = None
             sub.counts = np.ascontiguousarray(counts[:, :, c0:c1])
             # decorrelate the rarefied-subsample draws per chunk
             parts.append(run_site_stats(

@@ -26,8 +26,8 @@ from ..store import generate as gen
 from . import linkage as linkage_mod
 from . import tables
 from .filter_reads import PairSet, filter_reads, write_mapping_info
-from .pileup import ScaffoldStats, build_scaffold_pileup, make_luts, \
-    run_site_stats
+from .pileup import ScaffoldStats, build_scaffold_pileup, \
+    build_scaffold_pileup_padded, make_luts, run_site_stats
 
 
 @dataclass
@@ -229,7 +229,18 @@ def _profile_one_scaffold_inner(bam, pairs, registry, name, cfg, null_lut,
     if rid is None:
         return None
     L = registry.length_of(name)
-    pileup = build_scaffold_pileup(bam, pairs, rid, L)
+    engine = cfg.engine
+    if engine == "auto":
+        import jax
+        engine = "dense" if jax.default_backend() == "cpu" else "hybrid"
+    # the hybrid (device-compaction) engine transfers the count tensor to
+    # the device: build it natively pre-padded in int16 (half the bytes,
+    # no host padding pass); skip_mm collapses levels on host, which
+    # needs the plain int32 tensor
+    if engine == "hybrid" and not cfg.skip_mm_profiling:
+        pileup = build_scaffold_pileup_padded(bam, pairs, rid, L)
+    else:
+        pileup = build_scaffold_pileup(bam, pairs, rid, L)
     if pileup is None:
         return None
     if cfg.skip_mm_profiling:
@@ -240,10 +251,6 @@ def _profile_one_scaffold_inner(bam, pairs, registry, name, cfg, null_lut,
                                     -1).astype(np.int32)
 
     ref_codes = registry.codes[name]
-    engine = cfg.engine
-    if engine == "auto":
-        import jax
-        engine = "dense" if jax.default_backend() == "cpu" else "hybrid"
     M, _, Lc = pileup.counts.shape
     if engine == "hybrid" and M * Lc > (1 << 27):
         # the one-launch compact path needs the whole [M, 4, L] working
@@ -318,7 +325,10 @@ def _profile_scaffolds_batched(bam, pairs, registry, keep, cfg, null_lut,
             continue
         L = registry.length_of(name)
         try:
-            pu = build_scaffold_pileup(bam, pairs, rid, L)
+            if cfg.skip_mm_profiling:
+                pu = build_scaffold_pileup(bam, pairs, rid, L)
+            else:
+                pu = build_scaffold_pileup_padded(bam, pairs, rid, L)
         except Exception as e:
             log_failure("SplitException", name, str(e))
             continue
@@ -407,7 +417,7 @@ def _store_results(isdir: ProfileDir, results, bam_path, cfg, gene_data):
     if cfg.store_everything:
         # per-scaffold summed ACTG pileup counts (reference: counts_table,
         # gen_snv_profile 709-715 — [L, 4] per scaffold)
-        counts_table = [r.stats.pileup.counts.sum(axis=0).T
+        counts_table = [r.stats.pileup.counts_exact.sum(axis=0).T
                         for r in results]
         isdir.store("counts_table", counts_table, "pickle",
                     "1d numpy array of 2D counts tables for each scaffold")

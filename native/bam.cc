@@ -717,6 +717,72 @@ extern "C" int64_t bd_build_counts(BamData* h, int32_t ref_id,
     return n_events;
 }
 
+/*
+ * Padded int16 variant of bd_build_counts: scatters directly into a
+ * device-transfer-ready tensor [n_kept_mm, 4, Lp] (position stride Lp,
+ * caller allocates for n_mm levels), dropping mm levels with no counted
+ * bases in the same pass. This removes the host-side padding copy and the
+ * per-level numpy reduction, and halves the host->device transfer vs
+ * int32 — the transfer link is the profiling bottleneck on this platform.
+ *
+ * level_events[n_mm] (out): counted events per original level.
+ * level_map[n_mm] (out): original level -> kept index, or -1 if dropped.
+ * Returns the number of kept levels, or -1 if any cell would overflow
+ * int16 (caller falls back to the int32 path).
+ */
+extern "C" int32_t bd_build_counts16(BamData* h, int32_t ref_id,
+                                     const int32_t* qid2mmidx, int32_t n_mm,
+                                     int64_t L, int64_t Lp,
+                                     int16_t* out_counts,
+                                     int64_t* level_events,
+                                     int32_t* level_map, uint8_t min_qual) {
+    for (int32_t i = 0; i < n_mm; ++i) { level_events[i] = 0; level_map[i] = -1; }
+    int64_t beg = h->ref_rec_begin[ref_id], end = h->ref_rec_end[ref_id];
+    if (beg < 0) return 0;
+    /* pass 1: events per level (decides which levels survive) */
+    for (int64_t r = beg; r < end; ++r) {
+        if (h->ref_id[r] != ref_id) continue;
+        int32_t mi = qid2mmidx[h->qname_id[r]];
+        if (mi < 0) continue;
+        int64_t e0 = h->ev_off[r];
+        int64_t e1 = e0 + h->ev_len[r];
+        int64_t n = 0;
+        for (int64_t e = e0; e < e1; ++e) {
+            uint8_t b = h->ev_base[e];
+            if (b >= 4 || h->ev_qual[e] < min_qual) continue;
+            int64_t p = h->ev_pos[e];
+            if (p < 0 || p >= L) continue;
+            ++n;
+        }
+        level_events[mi] += n;
+    }
+    int32_t kept = 0;
+    for (int32_t i = 0; i < n_mm; ++i)
+        if (level_events[i] > 0) level_map[i] = kept++;
+    if (kept == 0) return 0;
+    /* pass 2: scatter with remapped levels + overflow detection */
+    for (int64_t r = beg; r < end; ++r) {
+        if (h->ref_id[r] != ref_id) continue;
+        int32_t mi = qid2mmidx[h->qname_id[r]];
+        if (mi < 0) continue;
+        int32_t mk = level_map[mi];
+        if (mk < 0) continue;
+        int64_t base_off = (int64_t)mk * 4 * Lp;
+        int64_t e0 = h->ev_off[r];
+        int64_t e1 = e0 + h->ev_len[r];
+        for (int64_t e = e0; e < e1; ++e) {
+            uint8_t b = h->ev_base[e];
+            if (b >= 4 || h->ev_qual[e] < min_qual) continue;
+            int64_t p = h->ev_pos[e];
+            if (p < 0 || p >= L) continue;
+            int16_t* cell = &out_counts[base_off + (int64_t)b * Lp + p];
+            if (*cell == INT16_MAX) return -1;
+            ++*cell;
+        }
+    }
+    return kept;
+}
+
 /* Extract counted events at masked positions (for linkage capture):
  * fills pos/base/mm_idx/qname arrays up to `capacity`, returns the true
  * number of matching events (may exceed capacity — caller re-calls). */

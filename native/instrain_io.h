@@ -93,6 +93,11 @@ extern "C" {
 int64_t bd_build_counts(BamData* h, int32_t ref_id, const int32_t* qid2mmidx,
                         int32_t n_mm, int64_t L, int32_t* out_counts,
                         uint8_t min_qual);
+int32_t bd_build_counts16(BamData* h, int32_t ref_id,
+                          const int32_t* qid2mmidx, int32_t n_mm, int64_t L,
+                          int64_t Lp, int16_t* out_counts,
+                          int64_t* level_events, int32_t* level_map,
+                          uint8_t min_qual);
 int64_t bd_select_events(BamData* h, int32_t ref_id, const int32_t* qid2mmidx,
                          const uint8_t* pos_mask, int64_t L, uint8_t min_qual,
                          int32_t* out_pos, uint8_t* out_base, int32_t* out_mm,

@@ -70,6 +70,44 @@ def test_transfer_size_is_small(both_stats):
     assert total < 12 * 1024 * 1024, total
 
 
+def test_padded_pileup_matches(both_stats, sars_profiled, ref_null_model):
+    """The native padded int16 builder yields the same counts and the same
+    compact outputs as the int32 builder + host padding."""
+    from instrain_tpu.profile.pileup import (build_scaffold_pileup,
+                                             build_scaffold_pileup_padded)
+    bam = sars_profiled["bam"]
+    pairs = sars_profiled["pairs"]
+    pu = sars_profiled["pileup"]
+    L = pu.length
+    pp = build_scaffold_pileup_padded(bam, pairs, pu.rid, L)
+    assert pp.true_M is not None
+    assert pp.counts.dtype == np.int16
+    assert pp.counts.shape[0] % 8 == 0 and pp.counts.shape[2] % 4096 == 0
+    np.testing.assert_array_equal(pp.counts_exact, pu.counts)
+    np.testing.assert_array_equal(pp.mm_values, pu.mm_values)
+    np.testing.assert_array_equal(pp.qid2mmidx, pu.qid2mmidx)
+    # padding rows/cols are all zero
+    assert pp.counts.sum() == pu.counts.sum()
+
+    rc = sars_profiled["ref_codes"]
+    luts = make_luts(VariantConfig(null_model=ref_null_model))
+    cs16 = compact.run_site_stats_compact(pp, rc, *luts)
+    _, cs, _ = both_stats
+    pd.testing.assert_frame_equal(
+        compact.snp_table_compact(cs, rc).reset_index(drop=True),
+        compact.snp_table_compact(cs16, rc).reset_index(drop=True),
+        check_dtype=False)
+    a = compact.coverage_table_compact(cs)
+    b = compact.coverage_table_compact(cs16)
+    for col in a.columns:
+        if col == "scaffold":
+            continue
+        av = a[col].values.astype(float)
+        bv = b[col].values.astype(float)
+        mask = ~(np.isnan(av) & np.isnan(bv))
+        np.testing.assert_allclose(av[mask], bv[mask], rtol=1e-12, err_msg=col)
+
+
 def test_batch_engine_matches_dense(tmp_path, ref_null_model):
     """engine='batch' (vmapped bucket kernel + dense ride-along) produces
     the same profile as engine='dense' on a multi-scaffold BAM."""
