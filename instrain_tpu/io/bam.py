@@ -79,6 +79,10 @@ def _load_lib():
         ct.c_void_p, ct.c_int32, ct.POINTER(ct.c_int32), ct.c_int32,
         ct.c_int64, ct.c_int64, ct.POINTER(ct.c_int16),
         ct.POINTER(ct.c_int64), ct.POINTER(ct.c_int32), ct.c_uint8]
+    lib.bd_pack_counts_u8.restype = ct.c_int64
+    lib.bd_pack_counts_u8.argtypes = [
+        ct.POINTER(ct.c_int16), ct.c_int64, ct.POINTER(ct.c_uint8),
+        ct.POINTER(ct.c_int32), ct.POINTER(ct.c_int32), ct.c_int64]
     lib.bd_select_events.restype = ct.c_int64
     lib.bd_select_events.argtypes = [
         ct.c_void_p, ct.c_int32, ct.POINTER(ct.c_int32),
@@ -309,6 +313,32 @@ def decode_bam(path: str, ref_seqs: Optional[Dict[str, np.ndarray]] = None,
     finally:
         if h:
             lib.bd_free(h)
+
+
+def pack_counts_u8(counts16: np.ndarray, corr_capacity: int = 1024):
+    """
+    Saturate an int16 count tensor to uint8 + sparse corrections (flat
+    index, residual) for cells > 255. Returns (u8, corr_idx, corr_val)
+    with corr arrays zero-padded to corr_capacity, or None when the
+    corrections overflow corr_capacity (caller stays on the int16 path).
+    Native single pass — host numpy is bandwidth-throttled here.
+    """
+    c = counts16
+    if c.dtype != np.int16 or c.size >= (1 << 31):
+        return None
+    lib = _load_lib()
+    flat = np.ascontiguousarray(c).reshape(-1)
+    out = np.empty(c.size, dtype=np.uint8)
+    corr_idx = np.zeros(corr_capacity, dtype=np.int32)
+    corr_val = np.zeros(corr_capacity, dtype=np.int32)
+    n = lib.bd_pack_counts_u8(
+        flat.ctypes.data_as(ct.POINTER(ct.c_int16)), c.size,
+        out.ctypes.data_as(ct.POINTER(ct.c_uint8)),
+        corr_idx.ctypes.data_as(ct.POINTER(ct.c_int32)),
+        corr_val.ctypes.data_as(ct.POINTER(ct.c_int32)), corr_capacity)
+    if n > corr_capacity:
+        return None
+    return out.reshape(c.shape), corr_idx, corr_val
 
 
 def baq_one(ref_codes: np.ndarray, pos: int, cigar: np.ndarray,

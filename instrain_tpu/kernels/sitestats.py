@@ -398,6 +398,49 @@ def compact_outputs(full, counts, true_len, snp_capacity: int,
                               true_len)
 
 
+@functools.partial(
+    jax.jit,
+    static_argnames=("min_cov", "min_covR", "rarefied_draws",
+                     "snp_capacity", "pos_capacity"))
+def site_stats_compact_u8(counts_u8, corr_idx, corr_val, ref_codes,
+                          null_lut, freq_lut, rng_key, true_len,
+                          min_cov: int = 5, min_covR: int = 50,
+                          rarefied_draws: int = 50,
+                          snp_capacity: int = 1024,
+                          pos_capacity: int = 1024):
+    """
+    Single-dispatch compact path with a minimal wire format, for the
+    relay-limited host<->device link:
+      in : uint8-saturated counts (half the int16 bytes) + sparse int32
+           corrections for cells > 255 (io.bam.pack_counts_u8)
+      out: _compact_from_full with bit-packed position masks and int16
+           linkage counts (+ overflow flag; the caller falls back to the
+           two-phase int32 path in the rare >32767-coverage case)
+    One host->device put, one dispatch, one device_get — no capacity
+    round-trip (the caller retries with larger static capacities if the
+    speculative ones overflow).
+    """
+    c = counts_u8.astype(jnp.int32)
+    counts = c.reshape(-1).at[corr_idx].add(corr_val).reshape(c.shape)
+    full = site_stats.__wrapped__(counts, ref_codes, null_lut, freq_lut,
+                                  rng_key, min_cov=min_cov,
+                                  min_covR=min_covR,
+                                  rarefied_draws=rarefied_draws)
+    out = _compact_from_full(full, counts, snp_capacity, pos_capacity,
+                             true_len)
+    m = out["masks"]
+    out["masks"] = dict(cryptic=jnp.packbits(m["cryptic"], axis=-1),
+                        any_snp=jnp.packbits(m["any_snp"], axis=-1),
+                        bases_mask=jnp.packbits(m["bases_mask"], axis=-1))
+    lk = out["linkage"]
+    out["linkage"] = dict(
+        valid=lk["valid"], pos=lk["pos"], present=lk["present"],
+        n_pos=lk["n_pos"],
+        cum=jnp.minimum(lk["cum"], 32767).astype(jnp.int16),
+        cum_overflow=(lk["cum"].max() > 32767))
+    return out
+
+
 @functools.partial(jax.jit, static_argnames=("snp_capacity", "pos_capacity"))
 def compact_outputs_with_dense(full, counts, true_len, snp_capacity: int,
                                pos_capacity: int):

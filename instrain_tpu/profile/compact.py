@@ -93,18 +93,70 @@ def _padded_inputs(pileup: ScaffoldPileup, ref_codes: np.ndarray):
     return counts, np.ascontiguousarray(ref_codes), M, L
 
 
+# Speculative capacities for the single-dispatch u8 path: a process-wide
+# high-water mark (pow2). An overflow costs one extra kernel run+compile,
+# then every later scaffold reuses the raised capacity.
+_SPEC_CAPS = {"snp": 1024, "pos": 1024}
+
+
+def _run_compact_u8(counts: np.ndarray, ref_codes: np.ndarray, L: int,
+                    null_lut: np.ndarray, freq_lut: np.ndarray, key,
+                    min_cov: int, rarefied_coverage: int) -> Optional[Dict]:
+    """Single-dispatch u8 compact run (see site_stats_compact_u8). Returns
+    the host output dict with masks unpacked and linkage counts widened,
+    or None when this path doesn't apply (non-int16 counts, correction or
+    linkage-count overflow) — the caller falls back to two-phase."""
+    from ..io.bam import pack_counts_u8
+    from ..kernels.sitestats import site_stats_compact_u8
+    if counts.dtype != np.int16:
+        return None
+    packed = pack_counts_u8(counts)
+    if packed is None:
+        return None
+    u8, cidx, cval = packed
+    for _ in range(4):
+        out = jax.device_get(site_stats_compact_u8(
+            u8, cidx, cval, ref_codes, null_lut, freq_lut, key,
+            np.int32(L), min_cov=min_cov, min_covR=rarefied_coverage,
+            rarefied_draws=rarefied_coverage,
+            snp_capacity=_SPEC_CAPS["snp"],
+            pos_capacity=_SPEC_CAPS["pos"]))
+        if bool(out["linkage"].pop("cum_overflow")):
+            return None
+        n_rows = int(out["rows"]["n_rows"])
+        n_pos = int(out["linkage"]["n_pos"])
+        if (n_rows <= _SPEC_CAPS["snp"] and n_pos <= _SPEC_CAPS["pos"]):
+            Lp = counts.shape[-1]
+            m = out["masks"]
+            out["masks"] = dict(
+                cryptic=np.unpackbits(m["cryptic"])[:Lp].astype(bool),
+                any_snp=np.unpackbits(m["any_snp"])[:Lp].astype(bool),
+                bases_mask=np.unpackbits(
+                    m["bases_mask"], axis=-1)[:, :Lp].astype(bool))
+            out["linkage"]["cum"] = out["linkage"]["cum"].astype(np.int32)
+            return out
+        _SPEC_CAPS["snp"] = max(_SPEC_CAPS["snp"], _pow2_capacity(n_rows))
+        _SPEC_CAPS["pos"] = max(_SPEC_CAPS["pos"], _pow2_capacity(n_pos))
+    return None
+
+
 def run_site_stats_compact(pileup: ScaffoldPileup, ref_codes: np.ndarray,
                            null_lut: np.ndarray, freq_lut: np.ndarray,
                            min_cov: int = 5, rarefied_coverage: int = 50,
                            seed: int = 42) -> CompactStats:
     """
-    Two-phase compact run: (1) the fused kernel leaves its dense outputs on
+    Single-dispatch u8 run when the counts fit (the common case), else a
+    two-phase compact run: (1) the fused kernel leaves its dense outputs on
     device and only two scalars (row/position counts) come back; (2) the
     compaction gather runs with right-sized power-of-two capacities. Total
     device->host traffic is proportional to the actual number of SNVs.
     """
     counts, ref_codes, M, L = _padded_inputs(pileup, ref_codes)
     key = jax.random.fold_in(jax.random.PRNGKey(seed), pileup.rid)
+    out_u8 = _run_compact_u8(counts, ref_codes, L, null_lut, freq_lut, key,
+                             min_cov, rarefied_coverage)
+    if out_u8 is not None:
+        return CompactStats(pileup, out_u8, M, L)
     # one host->device transfer of the count tensor; both kernel calls
     # below reuse the device-resident buffer
     counts = jax.device_put(counts)

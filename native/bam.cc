@@ -783,6 +783,33 @@ extern "C" int32_t bd_build_counts16(BamData* h, int32_t ref_id,
     return kept;
 }
 
+/*
+ * Saturate an int16 count tensor to uint8, emitting sparse corrections
+ * for cells > 255 (flat index + residual). Halves the host->device
+ * transfer vs int16; the device widens and scatter-adds the corrections
+ * back (kernels/sitestats.site_stats_compact_u8). Returns the true number
+ * of corrections — if it exceeds `cap` the caller falls back to int16.
+ */
+extern "C" int64_t bd_pack_counts_u8(const int16_t* counts, int64_t n,
+                                     uint8_t* out, int32_t* corr_idx,
+                                     int32_t* corr_val, int64_t cap) {
+    int64_t nc = 0;
+    for (int64_t i = 0; i < n; ++i) {
+        int16_t c = counts[i];
+        if ((uint16_t)c <= 255) {
+            out[i] = (uint8_t)c;
+        } else {
+            out[i] = 255;
+            if (nc < cap) {
+                corr_idx[nc] = (int32_t)i;
+                corr_val[nc] = (int32_t)c - 255;
+            }
+            ++nc;
+        }
+    }
+    return nc;
+}
+
 /* Extract counted events at masked positions (for linkage capture):
  * fills pos/base/mm_idx/qname arrays up to `capacity`, returns the true
  * number of matching events (may exceed capacity — caller re-calls). */

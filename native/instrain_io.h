@@ -102,6 +102,8 @@ int64_t bd_select_events(BamData* h, int32_t ref_id, const int32_t* qid2mmidx,
                          const uint8_t* pos_mask, int64_t L, uint8_t min_qual,
                          int32_t* out_pos, uint8_t* out_base, int32_t* out_mm,
                          int64_t* out_qname, int64_t capacity);
+int64_t bd_pack_counts_u8(const int16_t* counts, int64_t n, uint8_t* out,
+                          int32_t* corr_idx, int32_t* corr_val, int64_t cap);
 #ifdef __cplusplus
 }
 #endif

@@ -148,3 +148,75 @@ def test_batch_engine_matches_dense(tmp_path, ref_null_model):
         assert set(covA[s]) == set(covB[s])
         for mm in covA[s]:
             pd.testing.assert_series_equal(covA[s][mm], covB[s][mm])
+
+
+def test_pack_counts_u8_roundtrip():
+    """Native u8 saturation pack: exact reconstruction via corrections,
+    None on correction-capacity overflow or non-int16 input."""
+    from instrain_tpu.io.bam import pack_counts_u8
+    rng = np.random.default_rng(0)
+    c = rng.integers(0, 400, size=(3, 4, 64), dtype=np.int16)
+    p = pack_counts_u8(c, corr_capacity=1024)
+    assert p is not None
+    u8, ci, cv = p
+    rec = u8.astype(np.int32).reshape(-1)
+    np.add.at(rec, ci, cv)
+    np.testing.assert_array_equal(rec.reshape(c.shape), c.astype(np.int32))
+    n_over = int((c > 255).sum())
+    assert int((cv > 0).sum()) == n_over
+    # capacity overflow -> fallback signal
+    assert pack_counts_u8(c, corr_capacity=max(n_over - 1, 0)) is None
+    assert pack_counts_u8(c.astype(np.int32)) is None
+
+
+def test_u8_path_taken_and_matches_two_phase(sars_profiled, ref_null_model):
+    """The single-dispatch u8 path is selected for the native padded
+    pileup and produces byte-identical outputs to the two-phase path."""
+    from instrain_tpu.profile.pileup import build_scaffold_pileup_padded
+    import instrain_tpu.profile.compact as C
+    bam = sars_profiled["bam"]
+    pairs = sars_profiled["pairs"]
+    pu0 = sars_profiled["pileup"]
+    pp = build_scaffold_pileup_padded(bam, pairs, pu0.rid, pu0.length)
+    rc = sars_profiled["ref_codes"]
+    luts = make_luts(VariantConfig(null_model=ref_null_model))
+
+    taken = {}
+    orig = C._run_compact_u8
+
+    def spy(*a, **k):
+        r = orig(*a, **k)
+        taken["u8"] = r is not None
+        return r
+
+    C._run_compact_u8 = spy
+    try:
+        cs_u8 = compact.run_site_stats_compact(pp, rc, *luts)
+    finally:
+        C._run_compact_u8 = orig
+    assert taken.get("u8"), "u8 fast path was not taken"
+
+    C._run_compact_u8 = lambda *a, **k: None
+    try:
+        cs_2p = compact.run_site_stats_compact(pp, rc, *luts)
+    finally:
+        C._run_compact_u8 = orig
+
+    for grp in ("rows", "agg", "linkage", "masks"):
+        a, b = getattr(cs_u8, grp), getattr(cs_2p, grp)
+        assert set(a) == set(b)
+        for k in a:
+            x, y = np.asarray(a[k]), np.asarray(b[k])
+            if x.shape != y.shape:  # capacities may differ; compare prefix
+                n = min(x.shape[-1], y.shape[-1])
+                x, y = x[..., :n], y[..., :n]
+            if x.dtype.kind == "f":
+                np.testing.assert_array_equal(np.isnan(x), np.isnan(y))
+                m = ~np.isnan(x)
+                np.testing.assert_array_equal(x[m], y[m], err_msg=f"{grp}.{k}")
+            else:
+                np.testing.assert_array_equal(x, y, err_msg=f"{grp}.{k}")
+    pd.testing.assert_frame_equal(
+        compact.snp_table_compact(cs_u8, rc).reset_index(drop=True),
+        compact.snp_table_compact(cs_2p, rc).reset_index(drop=True),
+        check_dtype=False)
