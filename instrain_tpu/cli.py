@@ -137,6 +137,10 @@ def build_parser() -> argparse.ArgumentParser:
     # ---- genome_wide ----
     p = sub.add_parser("genome_wide")
     p.add_argument("-i", "--IS", required=True)
+    # accepted-but-unused, as in the reference (argumentParser.py:287-298:
+    # genome_wide inherits genes_io's --store_everything, which only the
+    # profile_genes op reads)
+    p.add_argument("--store_everything", action="store_true")
     add_stb(p)
     add_mm(p)
     add_system(p)

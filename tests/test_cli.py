@@ -128,3 +128,46 @@ def test_other_run_statistics_cli(cli_profile, capsys):
 def test_check_deps_cli(capsys):
     assert cli.main(["check_deps"]) == 0
     assert "jax" in capsys.readouterr().out
+
+
+def test_cli_surface_matches_reference():
+    """Every reference subcommand and flag exists here (argumentParser.py
+    whole surface); our only extras are --engine and --null_model."""
+    import argparse
+    from reference_oracle import import_reference
+    ra = import_reference("inStrain.argumentParser")
+    captured = {}
+    orig = argparse.ArgumentParser.parse_args
+
+    def fake(self, args=None, namespace=None):
+        captured["parser"] = self
+        return argparse.Namespace()
+
+    argparse.ArgumentParser.parse_args = fake
+    try:
+        ra.parse_args(["profile", "x", "y"])
+    finally:
+        argparse.ArgumentParser.parse_args = orig
+
+    def surface(top):
+        subs = next(a for a in top._actions
+                    if isinstance(a, argparse._SubParsersAction))
+        out = {}
+        for name, sp in subs.choices.items():
+            opts = set()
+            for act in sp._actions:
+                opts.update(act.option_strings)
+                if not act.option_strings and act.dest != "help":
+                    opts.add("<pos>" + act.dest)
+            out[name] = opts
+        return out
+
+    ref = surface(captured["parser"])
+    ours = surface(cli.build_parser())
+    assert set(ref) <= set(ours), set(ref) - set(ours)
+    allowed_extra = {"--engine", "--null_model"}
+    for name in ref:
+        missing = ref[name] - ours[name]
+        assert not missing, (name, missing)
+        extra = ours[name] - ref[name] - allowed_extra
+        assert not extra, (name, extra)
