@@ -65,7 +65,7 @@ def build_parser() -> argparse.ArgumentParser:
     p = sub.add_parser("profile")
     p.add_argument("bam")
     p.add_argument("fasta")
-    p.add_argument("-o", "--output", default="instrain")
+    p.add_argument("-o", "--output", default="inStrain")
     p.add_argument("--use_full_fasta_header", action="store_true")
     p.add_argument("--force_compress", action="store_true")
     add_system(p)
@@ -227,7 +227,7 @@ def main(argv=None):
     if op == "profile":
         from .profile.pipeline import profile
         output = args.output
-        if output == "instrain":
+        if output == "inStrain":
             output = args.fasta.split(".")[0].split("/")[-1]
         isdir = ProfileDir(output)
         setup_logger(isdir.get_location("log") + "log.log")

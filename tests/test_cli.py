@@ -171,3 +171,22 @@ def test_cli_surface_matches_reference():
         assert not missing, (name, missing)
         extra = ours[name] - ref[name] - allowed_extra
         assert not extra, (name, extra)
+
+    def defaults(top):
+        subs = next(a for a in top._actions
+                    if isinstance(a, argparse._SubParsersAction))
+        return {name: {a.dest: a.default for a in sp._actions
+                       if a.dest != "help"}
+                for name, sp in subs.choices.items()}
+
+    rdef, odef = defaults(captured["parser"]), defaults(cli.build_parser())
+    # deliberate divergences: [] vs None for nargs='*' (both falsy);
+    # filter_reads -o has a usable default here (the reference crashes
+    # on os.path.isdir(None) without -o)
+    allowed_diff = {("compare", "bams"), ("filter_reads", "output")}
+    for name in rdef:
+        for dest, dv in rdef[name].items():
+            if (name, dest) in allowed_diff:
+                continue
+            assert odef[name][dest] == dv, (name, dest, dv,
+                                            odef[name][dest])
