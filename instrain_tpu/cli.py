@@ -282,7 +282,8 @@ def main(argv=None):
         from .plotting.controller import make_plots
         isdir = ProfileDir(args.IS)
         setup_logger(isdir.get_location("log") + "log.log")
-        make_plots(isdir, plots=args.plots)
+        make_plots(isdir, plots=args.plots, genomes=args.genomes,
+                   minimum_breadth=args.minimum_breadth)
 
     elif op == "quick_profile":
         from .profile.quick_profile import quick_profile

@@ -32,6 +32,42 @@ def _genome_of(isdir):
     return s2b
 
 
+def _allowed_scaffolds(isdir: ProfileDir, **kwargs) -> Optional[set]:
+    """Scaffolds whose genome passes the plot filters, or None for "all"
+    (reference: plotting/utilities.py:9-39 plot_genome — an explicit
+    --genomes list wins; otherwise genomes below --minimum_breadth at the
+    highest mm are skipped)."""
+    s2b = _genome_of(isdir)
+    genomes = kwargs.get("genomes")
+    if genomes:
+        keep = set(genomes)
+        return {s for s, b in s2b.items() if b in keep}
+    mb = float(kwargs.get("minimum_breadth", 0) or 0)
+    if mb <= 0:
+        return None
+    gdb = isdir.get("genome_level_info")
+    if gdb is None or len(gdb) == 0:
+        # roll up length-weighted breadth from the scaffold table
+        # (reference computes genomeWideFromIS on the fly)
+        db = isdir.get("cumulative_scaffold_table")
+        if db is None or len(db) == 0:
+            return None
+        db = db.sort_values("mm").drop_duplicates(
+            subset="scaffold", keep="last").copy()
+        db["genome"] = db["scaffold"].map(s2b)
+        g = db.groupby("genome").apply(
+            lambda d: (d["breadth"] * d["length"]).sum() /
+            d["length"].sum(), include_groups=False)
+        b2b = g.to_dict()
+    else:
+        if "mm" in gdb.columns:
+            gdb = gdb.sort_values("mm").drop_duplicates(subset="genome",
+                                                        keep="last")
+        b2b = dict(zip(gdb["genome"], gdb["breadth"]))
+    keep = {g for g, b in b2b.items() if float(b) >= mb}
+    return {s for s, b in s2b.items() if b in keep}
+
+
 # 1 ---------------------------------------------------------------------
 
 def plot_coverage_breadth_vs_mm(isdir: ProfileDir, **kwargs):
@@ -41,6 +77,9 @@ def plot_coverage_breadth_vs_mm(isdir: ProfileDir, **kwargs):
         raise ValueError("no scaffold table")
     s2b = _genome_of(isdir)
     db = db.copy()
+    allowed = _allowed_scaffolds(isdir, **kwargs)
+    if allowed is not None:
+        db = db[db["scaffold"].isin(allowed)]
     db["genome"] = db["scaffold"].map(s2b)
     fig, axes = plt.subplots(1, 2, figsize=(10, 4))
     for genome, gdb in db.groupby("genome"):
@@ -71,6 +110,9 @@ def plot_genome_wide_microdiversity(isdir: ProfileDir, **kwargs):
     covT = isdir.get("covT")
     snvs = gen.nonredundant_snv_table(isdir)
     s2l = isdir.get("scaffold2length")
+    allowed = _allowed_scaffolds(isdir, **kwargs)
+    if allowed is not None:
+        covT = {s: v for s, v in covT.items() if s in allowed}
     fig, axes = plt.subplots(3, 1, figsize=(10, 7), sharex=True)
     offset = 0
     window = 1000
@@ -90,6 +132,8 @@ def plot_genome_wide_microdiversity(isdir: ProfileDir, **kwargs):
             axes[1].plot(offset + starts, dens, lw=0.7)
         offset += L
     clon = isdir.get("clonT")
+    if allowed is not None:
+        clon = {s: v for s, v in clon.items() if s in allowed}
     offset = 0
     for scaff, mm2c in clon.items():
         L = int(s2l[scaff])
@@ -119,8 +163,11 @@ def plot_read_ani_distribution(isdir: ProfileDir, **kwargs):
     mapping = isdir.get("mapping_info")
     mean_len = float(mapping["mean_pair_length"].iloc[0])
     mms = []
+    allowed = _allowed_scaffolds(isdir, **kwargs)
     if isinstance(rdic, dict):
         for scaff, p2m in rdic.items():
+            if allowed is not None and scaff not in allowed:
+                continue
             if isinstance(p2m, dict):
                 mms.extend(p2m.values())
     if not mms:
@@ -143,6 +190,9 @@ def plot_allele_frequencies(isdir: ProfileDir, **kwargs):
     if db is None or len(db) == 0:
         raise ValueError("no SNVs")
     db = db[db["allele_count"] >= 2]
+    allowed = _allowed_scaffolds(isdir, **kwargs)
+    if allowed is not None:
+        db = db[db["scaffold"].isin(allowed)]
     fig = plt.figure(figsize=(6, 4))
     plt.hist(db["var_freq"], bins=50)
     plt.xlabel("minor allele frequency")
@@ -159,6 +209,9 @@ def plot_linkage_decay(isdir: ProfileDir, **kwargs):
     db = gen.nonredundant_linkage_table(isdir)
     if db is None or len(db) == 0:
         raise ValueError("no linkage")
+    allowed = _allowed_scaffolds(isdir, **kwargs)
+    if allowed is not None:
+        db = db[db["scaffold"].isin(allowed)]
     fig, axes = plt.subplots(1, 2, figsize=(10, 4))
     bins = np.arange(0, db["distance"].max() + 50, 50)
     db = db.copy()
@@ -198,7 +251,9 @@ def plot_scaffold_inspection(isdir: ProfileDir, **kwargs):
     """Per-scaffold windowed metrics, tall layout (positional_plots.py)."""
     covT = isdir.get("covT")
     s2l = isdir.get("scaffold2length")
-    scaffs = list(covT.keys())
+    allowed = _allowed_scaffolds(isdir, **kwargs)
+    scaffs = [s for s in covT
+              if allowed is None or s in allowed]
     if not scaffs:
         raise ValueError("no coverage")
     fig, axes = plt.subplots(max(len(scaffs), 1), 1,
@@ -229,6 +284,9 @@ def plot_linkage_decay_types(isdir: ProfileDir, **kwargs):
     mdb = isdir.get("SNP_mutation_types")
     if db is None or len(db) == 0 or mdb is None or len(mdb) == 0:
         raise ValueError("needs linkage + genes")
+    allowed = _allowed_scaffolds(isdir, **kwargs)
+    if allowed is not None:
+        db = db[db["scaffold"].isin(allowed)]
     p2t = mdb.set_index(["scaffold", "position"])["mutation_type"].to_dict()
     db = db.copy()
     db["type_A"] = [p2t.get((s, p), "?") for s, p in
@@ -261,6 +319,9 @@ def plot_gene_histograms(isdir: ProfileDir, **kwargs):
     db = gen.generate(isdir, "gene_info", store=False, return_table=True)
     if db is None or len(db) == 0:
         raise ValueError("needs genes")
+    allowed = _allowed_scaffolds(isdir, **kwargs)
+    if allowed is not None and "scaffold" in db.columns:
+        db = db[db["scaffold"].isin(allowed)]
     cols = [c for c in ["coverage", "breadth", "nucl_diversity",
                         "pNpS_variants"] if c in db.columns]
     fig, axes = plt.subplots(1, len(cols), figsize=(3 * len(cols), 3))

@@ -114,3 +114,29 @@ def test_use_full_fasta_header(tmp_path, sars_bam, sars_ref_seq,
                                            use_full_header=True)
     assert short.names == ["MT039887.1"]
     assert full.names == ["MT039887.1 Severe acute respiratory syndrome"]
+
+
+def test_plot_genome_filters(plotted_profile):
+    """--genomes and --minimum_breadth restrict which genomes plot
+    (reference: plotting/utilities.py:9-39)."""
+    from instrain_tpu.plotting import plots as P
+    from instrain_tpu.store.profile_dir import ProfileDir
+    isdir = ProfileDir(plotted_profile)
+    # the fixture's stb maps everything to genomeA
+    assert P._allowed_scaffolds(isdir, genomes=["genomeA"])
+    assert P._allowed_scaffolds(isdir, genomes=["nope"]) == set()
+    # genomes list wins over breadth
+    assert P._allowed_scaffolds(isdir, genomes=["genomeA"],
+                                minimum_breadth=2.0)
+    # an impossible breadth excludes everything
+    assert P._allowed_scaffolds(isdir, minimum_breadth=1.01) == set()
+    # mb=0 disables filtering
+    assert P._allowed_scaffolds(isdir, minimum_breadth=0) is None
+
+    # end-to-end: a filtered-out genome yields an empty/failed plot set
+    from instrain_tpu.plotting.controller import make_plots
+    done = make_plots(plotted_profile, plots=["1"], genomes=["nope"])
+    done_ok = make_plots(plotted_profile, plots=["1"],
+                         genomes=["genomeA"])
+    assert "1" in done_ok
+    assert done == [] or done == ["1"]  # empty df may still render axes
