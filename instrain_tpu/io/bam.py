@@ -83,6 +83,10 @@ def _load_lib():
     lib.bd_pack_counts_u8.argtypes = [
         ct.POINTER(ct.c_int16), ct.c_int64, ct.POINTER(ct.c_uint8),
         ct.POINTER(ct.c_int32), ct.POINTER(ct.c_int32), ct.c_int64]
+    lib.bd_total_cum16.restype = None
+    lib.bd_total_cum16.argtypes = [
+        ct.POINTER(ct.c_int16), ct.c_int32, ct.c_int64,
+        ct.POINTER(ct.c_int32)]
     lib.bd_select_events.restype = ct.c_int64
     lib.bd_select_events.argtypes = [
         ct.c_void_p, ct.c_int32, ct.POINTER(ct.c_int32),
@@ -339,6 +343,20 @@ def pack_counts_u8(counts16: np.ndarray, corr_capacity: int = 1024):
     if n > corr_capacity:
         return None
     return out.reshape(c.shape), corr_idx, corr_val
+
+
+def total_cum16(counts16: np.ndarray, n_mm: int) -> np.ndarray:
+    """Cumulative coverage total [n_mm, Lp] int32 from an int16 count
+    tensor [Mp, 4, Lp] — native host pass (numpy here is
+    bandwidth-throttled); matches the device's cum.sum(axis=bases)."""
+    lib = _load_lib()
+    c = np.ascontiguousarray(counts16)
+    assert c.dtype == np.int16 and c.ndim == 3 and c.shape[1] == 4
+    Lp = c.shape[2]
+    out = np.empty((n_mm, Lp), dtype=np.int32)
+    lib.bd_total_cum16(c.ctypes.data_as(ct.POINTER(ct.c_int16)), n_mm, Lp,
+                       out.ctypes.data_as(ct.POINTER(ct.c_int32)))
+    return out
 
 
 def baq_one(ref_codes: np.ndarray, pos: int, cigar: np.ndarray,

@@ -283,8 +283,9 @@ def _site_stats_compact_traced(counts, ref_codes, null_lut, freq_lut,
     out = _compact_from_full(full, counts, kw["snp_capacity"],
                              kw["pos_capacity"], true_len)
     if kw.get("with_dense"):
-        out["dense"] = dict(total=full["total"].astype(jnp.int32),
-                            clon=full["clon"], clonR=full["clonR"])
+        out["dense"] = dict(clon=full["clon"], clonR=full["clonR"])
+        if kw.get("dense_total", True):
+            out["dense"]["total"] = full["total"].astype(jnp.int32)
     return out
 
 
@@ -401,13 +402,14 @@ def compact_outputs(full, counts, true_len, snp_capacity: int,
 @functools.partial(
     jax.jit,
     static_argnames=("min_cov", "min_covR", "rarefied_draws",
-                     "snp_capacity", "pos_capacity"))
+                     "snp_capacity", "pos_capacity", "with_dense"))
 def site_stats_compact_u8(counts_u8, corr_idx, corr_val, ref_codes,
                           null_lut, freq_lut, rng_key, true_len,
                           min_cov: int = 5, min_covR: int = 50,
                           rarefied_draws: int = 50,
                           snp_capacity: int = 1024,
-                          pos_capacity: int = 1024):
+                          pos_capacity: int = 1024,
+                          with_dense: bool = False):
     """
     Single-dispatch compact path with a minimal wire format, for the
     relay-limited host<->device link:
@@ -422,12 +424,21 @@ def site_stats_compact_u8(counts_u8, corr_idx, corr_val, ref_codes,
     """
     c = counts_u8.astype(jnp.int32)
     counts = c.reshape(-1).at[corr_idx].add(corr_val).reshape(c.shape)
-    full = site_stats.__wrapped__(counts, ref_codes, null_lut, freq_lut,
-                                  rng_key, min_cov=min_cov,
-                                  min_covR=min_covR,
-                                  rarefied_draws=rarefied_draws)
-    out = _compact_from_full(full, counts, snp_capacity, pos_capacity,
-                             true_len)
+    # dense_total=False: the host reconstructs `total` natively from the
+    # counts it already holds (io.bam.total_cum16), saving a third of the
+    # dense fetch
+    out = _site_stats_compact_traced(
+        counts, ref_codes, null_lut, freq_lut, rng_key, true_len,
+        min_cov=min_cov, min_covR=min_covR, rarefied_draws=rarefied_draws,
+        snp_capacity=snp_capacity, pos_capacity=pos_capacity,
+        with_dense=with_dense, dense_total=False)
+    return _pack_wire(out)
+
+
+def _pack_wire(out):
+    """Shrink a compact-output dict to the minimal wire format: bit-packed
+    masks + int16 linkage counts with a per-scaffold overflow flag (the
+    consumer falls back to the per-scaffold int32 path on overflow)."""
     m = out["masks"]
     out["masks"] = dict(cryptic=jnp.packbits(m["cryptic"], axis=-1),
                         any_snp=jnp.packbits(m["any_snp"], axis=-1),
@@ -439,6 +450,36 @@ def site_stats_compact_u8(counts_u8, corr_idx, corr_val, ref_codes,
         cum=jnp.minimum(lk["cum"], 32767).astype(jnp.int16),
         cum_overflow=(lk["cum"].max() > 32767))
     return out
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("min_cov", "min_covR", "rarefied_draws",
+                     "snp_capacity", "pos_capacity", "with_dense"))
+def site_stats_compact_batch_u8(counts_u8, corr_idx, corr_val, ref_codes,
+                                lens, null_lut, freq_lut, rng_keys,
+                                min_cov: int = 5, min_covR: int = 50,
+                                rarefied_draws: int = 50,
+                                snp_capacity: int = 1024,
+                                pos_capacity: int = 1024,
+                                with_dense: bool = False):
+    """Batched (vmapped) u8 wire-format variant of site_stats_compact_u8:
+    counts_u8 [S, M, 4, L] saturated uint8, corrections flat-indexed into
+    the whole stack; per-scaffold packed masks / int16 linkage counts /
+    overflow flags; with_dense rides clon/clonR along (`total` is
+    host-reconstructed, see io.bam.total_cum16)."""
+    c = counts_u8.astype(jnp.int32)
+    counts = c.reshape(-1).at[corr_idx].add(corr_val).reshape(c.shape)
+
+    def one(c1, r, l, k):
+        out = _site_stats_compact_traced(
+            c1, r, null_lut, freq_lut, k, l, min_cov=min_cov,
+            min_covR=min_covR, rarefied_draws=rarefied_draws,
+            snp_capacity=snp_capacity, pos_capacity=pos_capacity,
+            with_dense=with_dense, dense_total=False)
+        return _pack_wire(out)
+
+    return jax.vmap(one)(counts, ref_codes, lens, rng_keys)
 
 
 @functools.partial(jax.jit, static_argnames=("snp_capacity", "pos_capacity"))

@@ -101,11 +101,14 @@ _SPEC_CAPS = {"snp": 1024, "pos": 1024}
 
 def _run_compact_u8(counts: np.ndarray, ref_codes: np.ndarray, L: int,
                     null_lut: np.ndarray, freq_lut: np.ndarray, key,
-                    min_cov: int, rarefied_coverage: int) -> Optional[Dict]:
+                    min_cov: int, rarefied_coverage: int,
+                    with_dense: bool = False) -> Optional[Dict]:
     """Single-dispatch u8 compact run (see site_stats_compact_u8). Returns
     the host output dict with masks unpacked and linkage counts widened,
     or None when this path doesn't apply (non-int16 counts, correction or
-    linkage-count overflow) — the caller falls back to two-phase."""
+    linkage-count overflow) — the caller falls back to two-phase.
+    With with_dense, out["dense"] holds clon/clonR; the caller adds the
+    host-reconstructed total."""
     from ..io.bam import pack_counts_u8
     from ..kernels.sitestats import site_stats_compact_u8
     if counts.dtype != np.int16:
@@ -120,7 +123,7 @@ def _run_compact_u8(counts: np.ndarray, ref_codes: np.ndarray, L: int,
             np.int32(L), min_cov=min_cov, min_covR=rarefied_coverage,
             rarefied_draws=rarefied_coverage,
             snp_capacity=_SPEC_CAPS["snp"],
-            pos_capacity=_SPEC_CAPS["pos"]))
+            pos_capacity=_SPEC_CAPS["pos"], with_dense=with_dense))
         if bool(out["linkage"].pop("cum_overflow")):
             return None
         n_rows = int(out["rows"]["n_rows"])
@@ -194,10 +197,23 @@ def run_site_stats_hybrid(pileup: ScaffoldPileup, ref_codes: np.ndarray,
                           null_lut: np.ndarray, freq_lut: np.ndarray,
                           min_cov: int = 5, rarefied_coverage: int = 50,
                           seed: int = 42) -> HybridStats:
-    """Two-phase compact run that also fetches the storage-needed dense
-    arrays (~9 MB/scaffold instead of ~40 MB for the full dict)."""
+    """Hybrid run: compact outputs plus the storage-needed dense arrays.
+    u8 single-dispatch when the counts fit (clon/clonR fetched, total
+    reconstructed natively on host from the counts we already hold), else
+    the two-phase path (~9 MB/scaffold instead of ~40 MB for the full
+    dict)."""
     counts, ref_codes, M, L = _padded_inputs(pileup, ref_codes)
     key = jax.random.fold_in(jax.random.PRNGKey(seed), pileup.rid)
+    out_u8 = _run_compact_u8(counts, ref_codes, L, null_lut, freq_lut, key,
+                             min_cov, rarefied_coverage, with_dense=True)
+    if out_u8 is not None:
+        from ..io.bam import total_cum16
+        dense = out_u8.pop("dense")
+        cs = HybridStats(pileup, out_u8, M, L)
+        cs.dense = {"total": total_cum16(counts, M),
+                    "clon": np.asarray(dense["clon"]),
+                    "clonR": np.asarray(dense["clonR"])}
+        return cs
     counts = jax.device_put(counts)
     full = site_stats(counts, ref_codes, null_lut,
                       freq_lut, key, min_cov=min_cov,
@@ -352,13 +368,37 @@ def run_site_stats_compact_batch(pileups, ref_codes_list, null_lut,
                 lens[k] = L
                 keys.append(jax.random.fold_in(jax.random.PRNGKey(seed),
                                                pu.rid))
-            out = site_stats_compact_batch(
-                counts, refs, lens, null_lut, freq_lut, np.stack(keys),
-                min_cov=min_cov, min_covR=rarefied_coverage,
-                rarefied_draws=rarefied_coverage,
-                snp_capacity=SNP_CAPACITY, pos_capacity=POS_CAPACITY,
-                with_dense=with_dense)
-            out = jax.device_get(out)
+            # u8 wire format: saturated uint8 stack + flat corrections,
+            # packed masks / int16 linkage counts on the way back, and
+            # speculative capacities bounded by the bucket shape
+            packed = None
+            if all16 and counts.size < (1 << 31):
+                from ..io.bam import pack_counts_u8
+                packed = pack_counts_u8(counts,
+                                        corr_capacity=4096 + 64 * S)
+            if packed is not None:
+                from ..kernels.sitestats import site_stats_compact_batch_u8
+                u8, cidx, cval = packed
+                snp_cap = min(_SPEC_CAPS["snp"], Mp * Lp)
+                pos_cap = min(_SPEC_CAPS["pos"], Lp)
+                out = jax.device_get(site_stats_compact_batch_u8(
+                    u8, cidx, cval, refs, lens, null_lut, freq_lut,
+                    np.stack(keys), min_cov=min_cov,
+                    min_covR=rarefied_coverage,
+                    rarefied_draws=rarefied_coverage,
+                    snp_capacity=snp_cap, pos_capacity=pos_cap,
+                    with_dense=with_dense))
+                wire_u8 = True
+                cum_overflow = out["linkage"].pop("cum_overflow")
+            else:
+                out = jax.device_get(site_stats_compact_batch(
+                    counts, refs, lens, null_lut, freq_lut, np.stack(keys),
+                    min_cov=min_cov, min_covR=rarefied_coverage,
+                    rarefied_draws=rarefied_coverage,
+                    snp_capacity=SNP_CAPACITY, pos_capacity=POS_CAPACITY,
+                    with_dense=with_dense))
+                wire_u8 = False
+                cum_overflow = np.zeros(S, bool)
             dense = out.pop("dense", None)
             for k, (i, pu, rc) in enumerate(part):
                 if pu.true_M is not None:
@@ -377,14 +417,38 @@ def run_site_stats_compact_batch(pileups, ref_codes_list, null_lut,
                 cs.agg = {kk: v[:M] for kk, v in sliced["agg"].items()}
                 cs.linkage = sliced["linkage"]
                 cs.masks = sliced["masks"]
+                if wire_u8:
+                    m = cs.masks
+                    cs.masks = dict(
+                        cryptic=np.unpackbits(m["cryptic"])[:Lp]
+                        .astype(bool),
+                        any_snp=np.unpackbits(m["any_snp"])[:Lp]
+                        .astype(bool),
+                        bases_mask=np.unpackbits(m["bases_mask"], axis=-1)
+                        [:, :Lp].astype(bool))
+                    cs.linkage["cum"] = cs.linkage["cum"].astype(np.int32)
                 if with_dense:
-                    cs.dense = {kk: np.asarray(v[k])
-                                for kk, v in dense.items()}
-                if (int(cs.rows["n_rows"]) > len(cs.rows["pos"]) or
-                        int(cs.linkage["n_pos"]) >
-                        len(cs.linkage["pos"])):
-                    # this scaffold overflowed the fixed batch capacity;
+                    if wire_u8:
+                        from ..io.bam import total_cum16
+                        cs.dense = {
+                            "total": total_cum16(counts[k], M),
+                            "clon": np.asarray(dense["clon"][k]),
+                            "clonR": np.asarray(dense["clonR"][k])}
+                    else:
+                        cs.dense = {kk: np.asarray(v[k])
+                                    for kk, v in dense.items()}
+                n_rows = int(cs.rows["n_rows"])
+                n_pos = int(cs.linkage["n_pos"])
+                if (n_rows > len(cs.rows["pos"]) or
+                        n_pos > len(cs.linkage["pos"]) or
+                        bool(cum_overflow[k])):
+                    # this scaffold overflowed the batch wire capacity;
                     # the caller re-runs it on the right-sizing
-                    # per-scaffold path
+                    # per-scaffold path. Raise the speculative capacity
+                    # high-water mark for later launches.
+                    _SPEC_CAPS["snp"] = max(_SPEC_CAPS["snp"],
+                                            _pow2_capacity(n_rows))
+                    _SPEC_CAPS["pos"] = max(_SPEC_CAPS["pos"],
+                                            _pow2_capacity(n_pos))
                     results[i] = None
     return results

@@ -810,6 +810,27 @@ extern "C" int64_t bd_pack_counts_u8(const int16_t* counts, int64_t n,
     return nc;
 }
 
+/*
+ * Cumulative per-position coverage from an int16 count tensor
+ * [n_mm, 4, Lp]: out_total[m, p] = sum over mm' <= m, bases of counts.
+ * Lets the hybrid engine skip fetching the dense `total` array from the
+ * device (the relay link is the bottleneck; this is one cheap host pass).
+ */
+extern "C" void bd_total_cum16(const int16_t* counts, int32_t n_mm,
+                               int64_t Lp, int32_t* out_total) {
+    for (int32_t m = 0; m < n_mm; ++m) {
+        const int16_t* a = counts + (int64_t)m * 4 * Lp;
+        int32_t* o = out_total + (int64_t)m * Lp;
+        const int32_t* prev =
+            m ? out_total + (int64_t)(m - 1) * Lp : nullptr;
+        for (int64_t p = 0; p < Lp; ++p) {
+            int32_t s = (int32_t)a[p] + a[Lp + p] + a[2 * Lp + p] +
+                        a[3 * Lp + p];
+            o[p] = s + (prev ? prev[p] : 0);
+        }
+    }
+}
+
 /* Extract counted events at masked positions (for linkage capture):
  * fills pos/base/mm_idx/qname arrays up to `capacity`, returns the true
  * number of matching events (may exceed capacity — caller re-calls). */

@@ -220,3 +220,38 @@ def test_u8_path_taken_and_matches_two_phase(sars_profiled, ref_null_model):
         compact.snp_table_compact(cs_u8, rc).reset_index(drop=True),
         compact.snp_table_compact(cs_2p, rc).reset_index(drop=True),
         check_dtype=False)
+
+
+def test_batch_u8_wire_taken(tmp_path, ref_null_model):
+    """The batch engine selects the u8 wire (site_stats_compact_batch_u8)
+    for native int16 stacks, and the hybrid engine selects the u8
+    single-dispatch path — neither silently falls back."""
+    import os
+    import instrain_tpu.kernels.sitestats as K
+    from instrain_tpu.config import ProfileConfig
+    from instrain_tpu.profile.pipeline import profile
+
+    D = "/root/reference/test/test_data/"
+    bam = D + "N5_271_010G1_scaffold_failureScaffold.sorted.bam"
+    fasta = D + "N5_271_010G1_scaffold_failureScaffold.fa"
+    if not os.path.exists(bam):
+        pytest.skip("test data missing")
+
+    calls = []
+    orig = K.site_stats_compact_batch_u8
+
+    def spy(*a, **k):
+        calls.append(a[0].dtype)
+        return orig(*a, **k)
+
+    K.site_stats_compact_batch_u8 = spy
+    try:
+        cfg = ProfileConfig(output=str(tmp_path / "b8"),
+                            skip_plot_generation=True,
+                            skip_genome_wide=True)
+        cfg.engine = "batch"
+        cfg.variant.null_model = ref_null_model
+        profile(bam, fasta, cfg)
+    finally:
+        K.site_stats_compact_batch_u8 = orig
+    assert calls and all(d == np.uint8 for d in calls)
