@@ -1,0 +1,148 @@
+#!/usr/bin/env python
+"""
+Metagenome-scale benchmark: full `profile` over a synthetic multi-scaffold
+assembly, exercising the batch engine (vmapped same-bucket kernel
+launches + u8 wire format). The sars benchmark (bench.py, the driver's
+headline metric) measures the single-scaffold path; this measures the
+many-scaffold production path where launches amortize relay latency.
+
+Synthesizes S scaffolds x L bp with planted strain variants and paired
+reads at ~COV coverage, writes a SAM, runs the profile pipeline twice
+(warm + steady) and reports steady-state filtered-pairs/s vs the
+reference's 6-core cost-model baseline (977 pairs/s; see BASELINE.md).
+
+Not run by the driver — manual: `python bench_batch.py [--cpu]`.
+"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+if "--cpu" in sys.argv:
+    os.environ["JAX_PLATFORMS"] = "cpu"
+
+import numpy as np
+
+S = 64           # scaffolds
+L = 20_000       # bp each
+COV = 30         # target coverage
+READ = 150       # read length
+INSERT = 300     # outer insert size
+BASELINE_PAIRS_PER_SEC = 6 / 0.0061401594694834305
+
+BASES = np.frombuffer(b"ACGT", dtype=np.uint8)
+
+
+def synth(workdir: str, seed: int = 7):
+    rng = np.random.default_rng(seed)
+    fasta = os.path.join(workdir, "synth.fasta")
+    sam = os.path.join(workdir, "synth.sam")
+    n_pairs_per_scaffold = int(L * COV / (2 * READ))
+    refs = {}
+    with open(fasta, "w") as f:
+        for s in range(S):
+            seq = BASES[rng.integers(0, 4, L)]
+            refs[f"scaf_{s}"] = seq
+            f.write(f">scaf_{s}\n{seq.tobytes().decode()}\n")
+
+    qual = "I" * READ  # Q40 >= the pileup's min_base_quality 30
+    with open(sam, "w") as f:
+        f.write("@HD\tVN:1.6\tSO:coordinate\n")
+        for s in range(S):
+            f.write(f"@SQ\tSN:scaf_{s}\tLN:{L}\n")
+        qid = 0
+        for s in range(S):
+            ref = refs[f"scaf_{s}"]
+            # plant strain SNVs: ~1 per kb at 30% allele frequency
+            snv_pos = rng.choice(L, L // 1000, replace=False)
+            snv_alt = BASES[(np.searchsorted(BASES, ref[snv_pos]) +
+                             rng.integers(1, 4, len(snv_pos))) % 4]
+            starts = np.sort(rng.integers(0, L - INSERT, n_pairs_per_scaffold))
+            recs = []
+            for p0 in starts:
+                p1 = p0 + INSERT - READ
+                pair = []
+                for pos, flag in ((p0, 99), (p1, 147)):
+                    seq = ref[pos:pos + READ].copy()
+                    # planted variants on ~30% of reads
+                    m = (snv_pos >= pos) & (snv_pos < pos + READ)
+                    nm = 0
+                    if m.any() and rng.random() < 0.3:
+                        seq[snv_pos[m] - pos] = snv_alt[m]
+                        nm = int(m.sum())
+                    tlen = INSERT if flag == 99 else -INSERT
+                    pair.append((pos, flag, seq.tobytes().decode(), nm,
+                                 tlen))
+                a, b = pair
+                recs.append((a[0], f"r{qid}\t{a[1]}\tscaf_{s}\t{a[0]+1}\t42"
+                             f"\t{READ}M\t=\t{b[0]+1}\t{a[4]}\t{a[2]}"
+                             f"\t{qual}\tNM:i:{a[3]}\n"))
+                recs.append((b[0], f"r{qid}\t{b[1]}\tscaf_{s}\t{b[0]+1}\t42"
+                             f"\t{READ}M\t=\t{a[0]+1}\t{b[4]}\t{b[2]}"
+                             f"\t{qual}\tNM:i:{b[3]}\n"))
+                qid += 1
+            recs.sort(key=lambda r: r[0])
+            f.writelines(r[1] for r in recs)
+    return fasta, sam, S * n_pairs_per_scaffold
+
+
+def run_once(sam, fasta, out):
+    from instrain_tpu.config import ProfileConfig
+    from instrain_tpu.profile.pipeline import profile
+    cfg = ProfileConfig(output=out, skip_plot_generation=True,
+                        skip_genome_wide=True)
+    cfg.engine = "batch"
+    isdir = profile(sam, fasta, cfg)
+    return isdir
+
+
+def main():
+    import tempfile
+    import jax
+    cache_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             ".jax_cache")
+    os.makedirs(cache_dir, exist_ok=True)
+    try:
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
+
+    workdir = tempfile.mkdtemp(prefix="bench_batch_")
+    t0 = time.time()
+    fasta, sam, n_pairs = synth(workdir)
+    gen_s = time.time() - t0
+
+    t0 = time.time()
+    run_once(sam, fasta, os.path.join(workdir, "warm.IS"))
+    warm = time.time() - t0
+
+    steadies = []
+    for i in range(3):
+        t0 = time.time()
+        isdir = run_once(sam, fasta, os.path.join(workdir, f"s{i}.IS"))
+        steadies.append(time.time() - t0)
+    steady = min(steadies)
+    snvs = isdir.get("cumulative_snv_table")
+
+    print(json.dumps({
+        "metric": "batch_profile_pairs_per_sec",
+        "value": round(n_pairs / steady, 1),
+        "unit": "read pairs/s (end-to-end multi-scaffold profile)",
+        "vs_baseline": round(n_pairs / steady / BASELINE_PAIRS_PER_SEC, 2),
+        "detail": {
+            "scaffolds": S, "positions": S * L, "pairs": n_pairs,
+            "snv_rows": 0 if snvs is None else len(snvs),
+            "gen_s": round(gen_s, 2), "warmup_s": round(warm, 2),
+            "steady_s": round(steady, 2),
+            "steady_all_s": [round(x, 2) for x in steadies],
+            "positions_per_sec": round(S * L / steady, 1),
+        },
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -111,15 +111,58 @@ def _is_sam(path: str) -> bool:
     return not (head[:2] == b"\x1f\x8b" or head == b"BAM\x01")
 
 
-def _arr(ptr, n, dtype):
+class _NativeHandle:
+    """Owns a native BamData* — freed when the last reference (BamArrays
+    or any zero-copy array view) dies."""
+
+    __slots__ = ("h",)
+
+    def __init__(self, h):
+        self.h = h
+
+    def __del__(self):
+        if not self.h:
+            return
+        try:
+            lib = _load_lib()
+        except Exception:  # interpreter shutdown
+            return
+        if lib is not None and getattr(lib, "bd_free", None):
+            lib.bd_free(self.h)
+        self.h = None
+
+
+class _OwnedArray(np.ndarray):
+    """ndarray view into native decoder memory holding a reference to the
+    owning BamArrays, so the buffer outlives any view/slice of it."""
+
+    _owner = None
+
+    def __array_finalize__(self, obj):
+        if obj is not None:
+            self._owner = getattr(obj, "_owner", None)
+
+
+def _arr(ptr, n, dtype, owner=None):
+    """Zero-copy read-only view of a native buffer. Copies here are
+    catastrophic: this host throttles large memory copies (a 150 MB
+    .astype once cost ~35 s); the native handle stays alive via the
+    owner backref instead."""
     if n == 0:
         return np.empty(0, dtype=dtype)
-    return np.ctypeslib.as_array(ptr, shape=(n,)).astype(dtype, copy=True)
+    a = np.ctypeslib.as_array(ptr, shape=(n,))
+    assert a.dtype == dtype, (a.dtype, dtype)
+    v = a.view(_OwnedArray)
+    v._owner = owner
+    v.flags.writeable = False
+    return v
 
 
 @dataclass
 class BamArrays:
-    """Decoded BAM as flat numpy arrays (copies; native handle freed)."""
+    """Decoded BAM as flat numpy arrays — zero-copy read-only views into
+    the native decoder's buffers (the _NativeHandle owner is referenced by
+    every view, so the memory lives as long as any array does)."""
 
     ref_names: List[str]
     ref_lens: np.ndarray          # int64 [n_refs]
@@ -144,8 +187,14 @@ class BamArrays:
     # decode itself; most paths only need counts/ids)
     _qnames: Optional[List[str]] = None
     n_qnames: int = 0
-    # native handle (kept open for native pileup/count building)
-    _handle: Optional[int] = None
+    # native handle owner (kept open for native pileup/count building;
+    # the decoded arrays are zero-copy views into it)
+    _handle_obj: Optional[_NativeHandle] = None
+
+    @property
+    def _handle(self):
+        ho = self._handle_obj
+        return ho.h if ho is not None else None
 
     @property
     def qnames(self) -> Optional[List[str]]:
@@ -157,18 +206,10 @@ class BamArrays:
             self._qnames = [s.decode() for s in blob.split(b"\0")[:nq]]
         return self._qnames
 
-    def __del__(self):
-        self.close()
-
     def close(self):
-        if getattr(self, "_handle", None):
-            try:
-                lib = _load_lib()
-            except Exception:  # interpreter shutdown: ctypes already gone
-                return
-            if lib is not None and getattr(lib, "bd_free", None):
-                lib.bd_free(self._handle)
-            self._handle = None
+        """Drop this object's handle reference; the native memory is freed
+        once the last zero-copy array view dies with it."""
+        self._handle_obj = None
 
     def build_counts(self, rid: int, qid2mmidx: np.ndarray, n_mm: int,
                      L: int, min_qual: int = 30):
@@ -291,28 +332,30 @@ def decode_bam(path: str, ref_seqs: Optional[Dict[str, np.ndarray]] = None,
 
         n = lib.bd_n_records(h)
         ne = lib.bd_n_events(h)
+        ho = _NativeHandle(h)
+        h = None  # ownership transferred to the handle object
+        hp = ho.h
         out = BamArrays(
             ref_names=ref_names,
             ref_lens=ref_lens,
-            ref_id=_arr(lib.bd_rec_ref_id(h), n, np.int32),
-            pos=_arr(lib.bd_rec_pos(h), n, np.int32),
-            flag=_arr(lib.bd_rec_flag(h), n, np.uint16),
-            mapq=_arr(lib.bd_rec_mapq(h), n, np.uint8),
-            nm=_arr(lib.bd_rec_nm(h), n, np.int32),
-            qname_id=_arr(lib.bd_rec_qname_id(h), n, np.int64),
-            qlen_infer=_arr(lib.bd_rec_qlen_infer(h), n, np.int32),
-            ref_start=_arr(lib.bd_rec_ref_start(h), n, np.int32),
-            ref_end=_arr(lib.bd_rec_ref_end(h), n, np.int32),
-            ev_off=_arr(lib.bd_rec_ev_off(h), n, np.int64),
-            ev_len=_arr(lib.bd_rec_ev_len(h), n, np.int32),
-            pileup_ok=_arr(lib.bd_rec_pileup_ok(h), n, np.uint8),
-            ev_pos=_arr(lib.bd_ev_pos(h), ne, np.int32),
-            ev_base=_arr(lib.bd_ev_base(h), ne, np.uint8),
-            ev_qual=_arr(lib.bd_ev_qual(h), ne, np.uint8),
+            ref_id=_arr(lib.bd_rec_ref_id(hp), n, np.int32, ho),
+            pos=_arr(lib.bd_rec_pos(hp), n, np.int32, ho),
+            flag=_arr(lib.bd_rec_flag(hp), n, np.uint16, ho),
+            mapq=_arr(lib.bd_rec_mapq(hp), n, np.uint8, ho),
+            nm=_arr(lib.bd_rec_nm(hp), n, np.int32, ho),
+            qname_id=_arr(lib.bd_rec_qname_id(hp), n, np.int64, ho),
+            qlen_infer=_arr(lib.bd_rec_qlen_infer(hp), n, np.int32, ho),
+            ref_start=_arr(lib.bd_rec_ref_start(hp), n, np.int32, ho),
+            ref_end=_arr(lib.bd_rec_ref_end(hp), n, np.int32, ho),
+            ev_off=_arr(lib.bd_rec_ev_off(hp), n, np.int64, ho),
+            ev_len=_arr(lib.bd_rec_ev_len(hp), n, np.int32, ho),
+            pileup_ok=_arr(lib.bd_rec_pileup_ok(hp), n, np.uint8, ho),
+            ev_pos=_arr(lib.bd_ev_pos(hp), ne, np.int32, ho),
+            ev_base=_arr(lib.bd_ev_base(hp), ne, np.uint8, ho),
+            ev_qual=_arr(lib.bd_ev_qual(hp), ne, np.uint8, ho),
         )
-        out.n_qnames = int(lib.bd_n_qnames(h))
-        out._handle = h
-        h = None  # ownership transferred to BamArrays
+        out.n_qnames = int(lib.bd_n_qnames(hp))
+        out._handle_obj = ho
         return out
     finally:
         if h:

@@ -118,12 +118,16 @@ def _run_compact_u8(counts: np.ndarray, ref_codes: np.ndarray, L: int,
         return None
     u8, cidx, cval = packed
     for _ in range(4):
-        out = jax.device_get(site_stats_compact_u8(
+        res = site_stats_compact_u8(
             u8, cidx, cval, ref_codes, null_lut, freq_lut, key,
             np.int32(L), min_cov=min_cov, min_covR=rarefied_coverage,
             rarefied_draws=rarefied_coverage,
             snp_capacity=_SPEC_CAPS["snp"],
-            pos_capacity=_SPEC_CAPS["pos"], with_dense=with_dense))
+            pos_capacity=_SPEC_CAPS["pos"], with_dense=with_dense)
+        # fetch dense arrays selectively: clonR stays on device (and is
+        # never transferred) when no position reaches rarefied coverage
+        dense_dev = res.pop("dense", None)
+        out = jax.device_get(res)
         if bool(out["linkage"].pop("cum_overflow")):
             return None
         n_rows = int(out["rows"]["n_rows"])
@@ -137,6 +141,13 @@ def _run_compact_u8(counts: np.ndarray, ref_codes: np.ndarray, L: int,
                 bases_mask=np.unpackbits(
                     m["bases_mask"], axis=-1)[:, :Lp].astype(bool))
             out["linkage"]["cum"] = out["linkage"]["cum"].astype(np.int32)
+            if dense_dev is not None:
+                clon = np.asarray(dense_dev["clon"])
+                if out["agg"]["rarefied"].sum() > 0:
+                    clonR = np.asarray(dense_dev["clonR"])
+                else:
+                    clonR = np.broadcast_to(np.float32(np.nan), clon.shape)
+                out["dense"] = dict(clon=clon, clonR=clonR)
             return out
         _SPEC_CAPS["snp"] = max(_SPEC_CAPS["snp"], _pow2_capacity(n_rows))
         _SPEC_CAPS["pos"] = max(_SPEC_CAPS["pos"], _pow2_capacity(n_pos))
@@ -343,7 +354,10 @@ def run_site_stats_compact_batch(pileups, ref_codes_list, null_lut,
     results = [None] * len(pileups)
     from ..kernels.sitestats import site_stats_compact_batch
     for (Mp, Lp), items in buckets.items():
-        per_scaffold = Mp * Lp * (12 if with_dense else 4) + 4 * Mp * 4 * Lp
+        # wire bytes per scaffold on the u8 path: uint8 counts in, dense
+        # clon (+clonR when rarefied) out; launches are ~100 ms relay
+        # round-trips, so undersized chunks cost more than oversized ones
+        per_scaffold = Mp * Lp * (8 if with_dense else 1) + Mp * 4 * Lp
         chunk = max(1, max_chunk_bytes // per_scaffold)
         for c0 in range(0, len(items), chunk):
             part = items[c0:c0 + chunk]
@@ -381,13 +395,25 @@ def run_site_stats_compact_batch(pileups, ref_codes_list, null_lut,
                 u8, cidx, cval = packed
                 snp_cap = min(_SPEC_CAPS["snp"], Mp * Lp)
                 pos_cap = min(_SPEC_CAPS["pos"], Lp)
-                out = jax.device_get(site_stats_compact_batch_u8(
+                res = site_stats_compact_batch_u8(
                     u8, cidx, cval, refs, lens, null_lut, freq_lut,
                     np.stack(keys), min_cov=min_cov,
                     min_covR=rarefied_coverage,
                     rarefied_draws=rarefied_coverage,
                     snp_capacity=snp_cap, pos_capacity=pos_cap,
-                    with_dense=with_dense))
+                    with_dense=with_dense)
+                # selective dense fetch: the chunk's clonR never crosses
+                # the link when nothing reached rarefied coverage
+                dense_dev = res.pop("dense", None)
+                out = jax.device_get(res)
+                if dense_dev is not None:
+                    clon = np.asarray(dense_dev["clon"])
+                    if out["agg"]["rarefied"].sum() > 0:
+                        clonR = np.asarray(dense_dev["clonR"])
+                    else:
+                        clonR = np.broadcast_to(np.float32(np.nan),
+                                                clon.shape)
+                    out["dense"] = dict(clon=clon, clonR=clonR)
                 wire_u8 = True
                 cum_overflow = out["linkage"].pop("cum_overflow")
             else:

@@ -933,6 +933,11 @@ static void sam_sort_records(BamData* h) {
 }
 
 extern "C" BamData* bd_open_sam(const char* path) {
+    /* Zero-copy record parsing: fields are (ptr,len) spans into the raw
+     * buffer — no per-line std::string, no vector<string> splits, and
+     * upfront event reservations. (This host's memory allocator is
+     * bandwidth-throttled; the copy-heavy first version parsed at only
+     * ~7k records/s.) Short strings (qname/rname) stay SSO-cheap. */
     std::vector<uint8_t> raw;
     if (!read_file(path, raw)) return nullptr;
     auto h = new BamData();
@@ -941,15 +946,39 @@ extern "C" BamData* bd_open_sam(const char* path) {
 
     size_t i = 0, n = raw.size();
     const char* data = (const char*)raw.data();
+    /* SEQ+QUAL are roughly half of each record line */
+    h->ev_pos.reserve(n / 2); h->ev_base.reserve(n / 2);
+    h->ev_qual.reserve(n / 2); h->ev_qpos.reserve(n / 2);
+    h->seq_buf.reserve(n / 4); h->qual_buf.reserve(n / 4);
+
+    auto span_int = [](const char* s, size_t l) -> int64_t {
+        int64_t v = 0; bool neg = false; size_t k = 0;
+        if (l && s[0] == '-') { neg = true; k = 1; }
+        for (; k < l; ++k) {
+            char c = s[k];
+            if (c < '0' || c > '9') break;
+            v = v * 10 + (c - '0');
+        }
+        return neg ? -v : v;
+    };
+
+    /* coordinate-sorted SAMs repeat RNAME: cache the last lookup */
+    const char* last_rn = nullptr; size_t last_rn_len = 0;
+    int32_t last_rid = -1;
+    std::vector<uint32_t> cig;
+
     while (i < n) {
         size_t j = i;
         while (j < n && data[j] != '\n') ++j;
-        std::string line(data + i, j - i);
+        const char* ln = data + i;
+        size_t len = j - i;
         i = j + 1;
-        if (line.empty()) continue;
-        if (line[0] == '@') {
+        if (len && ln[len - 1] == '\r') --len;
+        if (!len) continue;
+        if (ln[0] == '@') {
+            std::string line(ln, len);
             if (line.rfind("@SQ", 0) == 0) {
-                std::string name; int64_t len = 0;
+                std::string name; int64_t rlen = 0;
                 size_t p = 0;
                 while (p != std::string::npos) {
                     size_t q = line.find('\t', p + 1);
@@ -957,13 +986,13 @@ extern "C" BamData* bd_open_sam(const char* path) {
                         p + 1, q == std::string::npos ? q : q - p - 1);
                     if (field.rfind("SN:", 0) == 0) name = field.substr(3);
                     if (field.rfind("LN:", 0) == 0)
-                        len = atoll(field.c_str() + 3);
+                        rlen = atoll(field.c_str() + 3);
                     p = q;
                 }
                 if (!name.empty()) {
                     ref_ids[name] = (int32_t)h->ref_names.size();
                     h->ref_names.push_back(name);
-                    h->ref_lens.push_back(len);
+                    h->ref_lens.push_back(rlen);
                 }
             }
             continue;
@@ -972,46 +1001,60 @@ extern "C" BamData* bd_open_sam(const char* path) {
             h->ref_rec_begin.assign(h->ref_names.size(), -1);
             h->ref_rec_end.assign(h->ref_names.size(), -1);
         }
-        // split fields
-        std::vector<std::string> f;
+        /* split into spans */
+        const char* fp[64]; size_t fn[64]; int nf = 0;
         size_t p = 0;
-        while (true) {
-            size_t q = line.find('\t', p);
-            f.push_back(line.substr(p, q == std::string::npos
-                                    ? q : q - p));
-            if (q == std::string::npos) break;
+        while (nf < 64) {
+            size_t q = p;
+            while (q < len && ln[q] != '\t') ++q;
+            fp[nf] = ln + p; fn[nf] = q - p; ++nf;
+            if (q >= len) break;
             p = q + 1;
         }
-        if (f.size() < 11) continue;
-        uint16_t fl = (uint16_t)atoi(f[1].c_str());
-        auto rit = ref_ids.find(f[2]);
-        if (rit == ref_ids.end() || (fl & 0x4)) continue;
-        int32_t refID = rit->second;
-        int32_t rpos = atoi(f[3].c_str()) - 1;
-        uint8_t mq = (uint8_t)atoi(f[4].c_str());
-        const std::string& cig_s = f[5];
-        const std::string& seq_s = f[9];
-        const std::string& qual_s = f[10];
-        int32_t nm = -1;
-        for (size_t k = 11; k < f.size(); ++k)
-            if (f[k].rfind("NM:i:", 0) == 0) nm = atoi(f[k].c_str() + 5);
-
-        // parse cigar
-        std::vector<uint32_t> cig;
-        int64_t num = 0;
-        for (char c : cig_s) {
-            if (c >= '0' && c <= '9') { num = num * 10 + (c - '0'); continue; }
-            int op = cigar_char2op(c);
-            if (op < 0) { cig.clear(); break; }
-            cig.push_back(((uint32_t)num << 4) | op);
-            num = 0;
+        if (nf < 11) continue;
+        uint16_t fl = (uint16_t)span_int(fp[1], fn[1]);
+        if (fl & 0x4) continue;
+        int32_t refID;
+        if (last_rn && fn[2] == last_rn_len &&
+            memcmp(fp[2], last_rn, last_rn_len) == 0) {
+            refID = last_rid;
+        } else {
+            auto rit = ref_ids.find(std::string(fp[2], fn[2]));
+            if (rit == ref_ids.end()) continue;
+            refID = rit->second;
+            last_rn = fp[2]; last_rn_len = fn[2]; last_rid = refID;
         }
-        if (cig_s == "*") cig.clear();
+        int32_t rpos = (int32_t)span_int(fp[3], fn[3]) - 1;
+        uint8_t mq = (uint8_t)span_int(fp[4], fn[4]);
+        const char* seq_s = fp[9]; size_t seq_l = fn[9];
+        const char* qual_s = fp[10]; size_t qual_l = fn[10];
+        bool star_qual = (qual_l == 1 && qual_s[0] == '*');
+        if (seq_l == 1 && seq_s[0] == '*') seq_l = 0;
+        int32_t nm = -1;
+        for (int k = 11; k < nf; ++k)
+            if (fn[k] >= 5 && memcmp(fp[k], "NM:i:", 5) == 0)
+                nm = (int32_t)span_int(fp[k] + 5, fn[k] - 5);
+
+        /* parse cigar from its span */
+        cig.clear();
+        if (!(fn[5] == 1 && fp[5][0] == '*')) {
+            int64_t num = 0;
+            for (size_t k = 0; k < fn[5]; ++k) {
+                char c = fp[5][k];
+                if (c >= '0' && c <= '9') {
+                    num = num * 10 + (c - '0');
+                    continue;
+                }
+                int op = cigar_char2op(c);
+                if (op < 0) { cig.clear(); break; }
+                cig.push_back(((uint32_t)num << 4) | op);
+                num = 0;
+            }
+        }
 
         int64_t ev0 = (int64_t)h->ev_pos.size();
         int64_t x = rpos, y = 0;
         int32_t qlen = 0, rstart = -1, rend = -1;
-        bool star_qual = (qual_s == "*");
         for (uint32_t c : cig) {
             int op = c & 0xf;
             int64_t l = c >> 4;
@@ -1020,10 +1063,10 @@ extern "C" BamData* bd_open_sam(const char* path) {
                     int64_t qi = y + k;
                     h->ev_pos.push_back((int32_t)(x + k));
                     h->ev_base.push_back(
-                        qi < (int64_t)seq_s.size()
+                        qi < (int64_t)seq_l
                             ? CHAR2CODE[(uint8_t)seq_s[qi]] : 4);
                     h->ev_qual.push_back(
-                        star_qual || qi >= (int64_t)qual_s.size()
+                        star_qual || qi >= (int64_t)qual_l
                             ? 0 : (uint8_t)(qual_s[qi] - 33));
                     h->ev_qpos.push_back((int32_t)qi);
                 }
@@ -1041,13 +1084,14 @@ extern "C" BamData* bd_open_sam(const char* path) {
             h->ev_qual.resize(ev0); h->ev_qpos.resize(ev0);
             continue;
         }
-        auto qit = qmap.find(f[0]);
+        std::string qname(fp[0], fn[0]);
+        auto qit = qmap.find(qname);
         int64_t qid;
         if (qit == qmap.end()) {
             qid = (int64_t)qmap.size();
-            qmap.emplace(f[0], qid);
+            qmap.emplace(std::move(qname), qid);
             h->qname_off.push_back((int64_t)h->qname_blob.size());
-            h->qname_blob += f[0];
+            h->qname_blob.append(fp[0], fn[0]);
             h->qname_blob += '\0';
         } else {
             qid = qit->second;
@@ -1070,12 +1114,11 @@ extern "C" BamData* bd_open_sam(const char* path) {
         h->cig_n.push_back((int32_t)cig.size());
         h->cig_buf.insert(h->cig_buf.end(), cig.begin(), cig.end());
         h->seq_off.push_back((int64_t)h->seq_buf.size());
-        int32_t l_seq = seq_s == "*" ? 0 : (int32_t)seq_s.size();
-        h->seq_len.push_back(l_seq);
-        for (int32_t k = 0; k < l_seq; ++k) {
+        h->seq_len.push_back((int32_t)seq_l);
+        for (size_t k = 0; k < seq_l; ++k) {
             h->seq_buf.push_back(CHAR2CODE[(uint8_t)seq_s[k]]);
             h->qual_buf.push_back(
-                star_qual || k >= (int32_t)qual_s.size()
+                star_qual || k >= qual_l
                     ? 0 : (uint8_t)(qual_s[k] - 33));
         }
         if (h->ref_rec_begin[refID] < 0) h->ref_rec_begin[refID] = ridx;
