@@ -139,7 +139,10 @@ class _OwnedArray(np.ndarray):
     _owner = None
 
     def __array_finalize__(self, obj):
-        if obj is not None:
+        # propagate ownership only to true views (base chains to the
+        # native buffer); ufunc results / copies have fresh buffers and
+        # must not pin the native allocation
+        if obj is not None and self.base is not None:
             self._owner = getattr(obj, "_owner", None)
 
 

@@ -36,6 +36,11 @@ def make_plots(isdir: ProfileDir, plots: Union[str, List[str]] = "a",
         todo = list(registry)
     else:
         todo = [str(p) for p in plots]
+    if "_allowed" not in kwargs:
+        try:
+            kwargs["_allowed"] = P._allowed_scaffolds(isdir, **kwargs)
+        except Exception:
+            kwargs["_allowed"] = None
     done = []
     for p in todo:
         fn = registry.get(p)

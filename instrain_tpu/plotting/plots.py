@@ -37,9 +37,13 @@ def _allowed_scaffolds(isdir: ProfileDir, **kwargs) -> Optional[set]:
     (reference: plotting/utilities.py:9-39 plot_genome — an explicit
     --genomes list wins; otherwise genomes below --minimum_breadth at the
     highest mm are skipped)."""
+    if "_allowed" in kwargs:  # precomputed once by the controller
+        return kwargs["_allowed"]
     s2b = _genome_of(isdir)
     genomes = kwargs.get("genomes")
-    if genomes:
+    if genomes is not None:
+        # an explicit list wins, even an empty one (reference
+        # plotting/utilities.py:18-23 treats [] as "no genome passes")
         keep = set(genomes)
         return {s for s, b in s2b.items() if b in keep}
     mb = float(kwargs.get("minimum_breadth", 0) or 0)

@@ -149,8 +149,11 @@ def _run_compact_u8(counts: np.ndarray, ref_codes: np.ndarray, L: int,
                     clonR = np.broadcast_to(np.float32(np.nan), clon.shape)
                 out["dense"] = dict(clon=clon, clonR=clonR)
             return out
+        before = (_SPEC_CAPS["snp"], _SPEC_CAPS["pos"])
         _SPEC_CAPS["snp"] = max(_SPEC_CAPS["snp"], _pow2_capacity(n_rows))
         _SPEC_CAPS["pos"] = max(_SPEC_CAPS["pos"], _pow2_capacity(n_pos))
+        if (_SPEC_CAPS["snp"], _SPEC_CAPS["pos"]) == before:
+            return None  # capacity ceiling: retrying cannot help
     return None
 
 
@@ -354,10 +357,17 @@ def run_site_stats_compact_batch(pileups, ref_codes_list, null_lut,
     results = [None] * len(pileups)
     from ..kernels.sitestats import site_stats_compact_batch
     for (Mp, Lp), items in buckets.items():
-        # wire bytes per scaffold on the u8 path: uint8 counts in, dense
-        # clon (+clonR when rarefied) out; launches are ~100 ms relay
-        # round-trips, so undersized chunks cost more than oversized ones
-        per_scaffold = Mp * Lp * (8 if with_dense else 1) + Mp * 4 * Lp
+        # wire bytes per scaffold: the u8 path moves uint8 counts in and
+        # dense clon (+clonR when rarefied) out; the int16/int32 fallback
+        # also fetches total and sends wider counts. Launches are ~100 ms
+        # relay round-trips, so undersized chunks cost more than
+        # oversized ones.
+        bucket16 = all(pu.counts.dtype == np.int16 for _, pu, _ in items)
+        if bucket16:
+            per_scaffold = Mp * Lp * (8 if with_dense else 1) + Mp * 4 * Lp
+        else:
+            per_scaffold = (Mp * Lp * (12 if with_dense else 4) +
+                            4 * Mp * 4 * Lp)
         chunk = max(1, max_chunk_bytes // per_scaffold)
         for c0 in range(0, len(items), chunk):
             part = items[c0:c0 + chunk]

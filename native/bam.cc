@@ -1001,10 +1001,11 @@ extern "C" BamData* bd_open_sam(const char* path) {
             h->ref_rec_begin.assign(h->ref_names.size(), -1);
             h->ref_rec_end.assign(h->ref_names.size(), -1);
         }
-        /* split into spans */
-        const char* fp[64]; size_t fn[64]; int nf = 0;
+        /* split the 11 mandatory fields into spans; tags are scanned
+         * separately below (records can carry any number of tags) */
+        const char* fp[11]; size_t fn[11]; int nf = 0;
         size_t p = 0;
-        while (nf < 64) {
+        while (nf < 11) {
             size_t q = p;
             while (q < len && ln[q] != '\t') ++q;
             fp[nf] = ln + p; fn[nf] = q - p; ++nf;
@@ -1030,10 +1031,22 @@ extern "C" BamData* bd_open_sam(const char* path) {
         const char* qual_s = fp[10]; size_t qual_l = fn[10];
         bool star_qual = (qual_l == 1 && qual_s[0] == '*');
         if (seq_l == 1 && seq_s[0] == '*') seq_l = 0;
+        /* walk ALL optional tags after field 10 for NM:i: */
         int32_t nm = -1;
-        for (int k = 11; k < nf; ++k)
-            if (fn[k] >= 5 && memcmp(fp[k], "NM:i:", 5) == 0)
-                nm = (int32_t)span_int(fp[k] + 5, fn[k] - 5);
+        {
+            const char* tp = fp[10] + fn[10];
+            const char* lend = ln + len;
+            while (tp < lend) {
+                ++tp;  /* skip the tab */
+                const char* te = tp;
+                while (te < lend && *te != '\t') ++te;
+                if (te - tp >= 5 && memcmp(tp, "NM:i:", 5) == 0) {
+                    nm = (int32_t)span_int(tp + 5, (size_t)(te - tp - 5));
+                    break;
+                }
+                tp = te;
+            }
+        }
 
         /* parse cigar from its span */
         cig.clear();

@@ -85,3 +85,40 @@ def test_baq_one_smoke():
     assert (out <= qual).all()
     # high agreement -> most bases keep high quality
     assert (out >= 30).mean() > 0.9
+
+
+def test_sam_nm_tag_beyond_many_tags(tmp_path):
+    """NM:i is found regardless of how many optional tags precede it
+    (the tag walk is unbounded; only the 11 mandatory fields are
+    span-split)."""
+    from instrain_tpu.io.bam import decode_bam
+    tags = "\t".join(f"X{chr(65 + i % 26)}:i:{i}" for i in range(60))
+    sam = tmp_path / "tags.sam"
+    sam.write_text(
+        "@HD\tVN:1.6\tSO:coordinate\n@SQ\tSN:s\tLN:100\n"
+        f"r1\t99\ts\t1\t42\t10M\t=\t50\t60\tACGTACGTAC\tIIIIIIIIII\t{tags}"
+        "\tNM:i:7\n"
+        "r1\t147\ts\t50\t42\t10M\t=\t1\t-60\tACGTACGTAC\tIIIIIIIIII"
+        "\tNM:i:3\n")
+    bam = decode_bam(str(sam))
+    assert bam.nm.tolist() == [7, 3]
+
+
+def test_owned_array_lifetime_and_no_pinning(small_bam):
+    """Decoded arrays are zero-copy views that keep the native buffer
+    alive; derived arrays with fresh buffers do NOT pin it."""
+    import gc
+    from instrain_tpu.io.bam import decode_bam
+    bam = decode_bam(small_bam)
+    view = bam.ev_pos[:50]
+    expected = view.copy()
+    derived = bam.ev_pos.astype(np.int64)  # fresh buffer
+    assert getattr(view, "_owner", None) is not None
+    assert getattr(derived, "_owner", None) is None
+    del bam
+    gc.collect()
+    np.testing.assert_array_equal(view, expected)
+    # read-only protection
+    import pytest
+    with pytest.raises(ValueError):
+        view[0] = 1
