@@ -47,11 +47,15 @@ def main():
         # warm
         sharded_scaffold_summary(counts, refs, mesh, null_lut, freq_lut,
                                  tile_len=4096)
-        t0 = time.time()
-        for _ in range(3):
-            sharded_scaffold_summary(counts, refs, mesh, null_lut, freq_lut,
-                                     tile_len=4096)
-        dt = (time.time() - t0) / 3
+        # min over repeats: this host's CPU is noisy (2-3x run-to-run
+        # swings); the min measures the step, not the scheduler weather
+        reps = []
+        for _ in range(5):
+            t0 = time.time()
+            sharded_scaffold_summary(counts, refs, mesh, null_lut,
+                                     freq_lut, tile_len=4096)
+            reps.append(time.time() - t0)
+        dt = min(reps)
         times[n] = dt
         print(json.dumps({"mesh_devices": n, "step_s": round(dt, 4),
                           "positions_per_sec": round(L / dt, 1)}))
