@@ -87,6 +87,10 @@ def _load_lib():
     lib.bd_total_cum16.argtypes = [
         ct.POINTER(ct.c_int16), ct.c_int32, ct.c_int64,
         ct.POINTER(ct.c_int32)]
+    lib.bd_clon_cum16.restype = None
+    lib.bd_clon_cum16.argtypes = [
+        ct.POINTER(ct.c_int16), ct.c_int32, ct.c_int64, ct.c_int32,
+        ct.POINTER(ct.c_int32), ct.POINTER(ct.c_float)]
     lib.bd_select_events.restype = ct.c_int64
     lib.bd_select_events.argtypes = [
         ct.c_void_p, ct.c_int32, ct.POINTER(ct.c_int32),
@@ -403,6 +407,23 @@ def total_cum16(counts16: np.ndarray, n_mm: int) -> np.ndarray:
     lib.bd_total_cum16(c.ctypes.data_as(ct.POINTER(ct.c_int16)), n_mm, Lp,
                        out.ctypes.data_as(ct.POINTER(ct.c_int32)))
     return out
+
+
+def clon_cum16(counts16: np.ndarray, n_mm: int, min_cov: int):
+    """One native pass over an int16 count tensor [Mp, 4, Lp]:
+    (total int32 [n_mm, Lp], clonality float32 [n_mm, Lp] with NaN where
+    the exact level is absent or coverage < min_cov) — mirrors the device
+    kernel's `total` and `clon` so neither crosses the device link."""
+    lib = _load_lib()
+    c = np.ascontiguousarray(counts16)
+    assert c.dtype == np.int16 and c.ndim == 3 and c.shape[1] == 4
+    Lp = c.shape[2]
+    total = np.empty((n_mm, Lp), dtype=np.int32)
+    clon = np.empty((n_mm, Lp), dtype=np.float32)
+    lib.bd_clon_cum16(c.ctypes.data_as(ct.POINTER(ct.c_int16)), n_mm, Lp,
+                      min_cov, total.ctypes.data_as(ct.POINTER(ct.c_int32)),
+                      clon.ctypes.data_as(ct.POINTER(ct.c_float)))
+    return total, clon
 
 
 def baq_one(ref_codes: np.ndarray, pos: int, cigar: np.ndarray,

@@ -283,9 +283,14 @@ def _site_stats_compact_traced(counts, ref_codes, null_lut, freq_lut,
     out = _compact_from_full(full, counts, kw["snp_capacity"],
                              kw["pos_capacity"], true_len)
     if kw.get("with_dense"):
-        out["dense"] = dict(clon=full["clon"], clonR=full["clonR"])
-        if kw.get("dense_total", True):
-            out["dense"]["total"] = full["total"].astype(jnp.int32)
+        if kw.get("dense_device", True):
+            out["dense"] = dict(clon=full["clon"], clonR=full["clonR"],
+                                total=full["total"].astype(jnp.int32))
+        else:
+            # u8 wire: the host reconstructs total AND clon natively from
+            # the counts it already holds (io.bam.clon_cum16); only the
+            # PRNG-dependent clonR can come from the device
+            out["dense"] = dict(clonR=full["clonR"])
     return out
 
 
@@ -402,14 +407,16 @@ def compact_outputs(full, counts, true_len, snp_capacity: int,
 @functools.partial(
     jax.jit,
     static_argnames=("min_cov", "min_covR", "rarefied_draws",
-                     "snp_capacity", "pos_capacity", "with_dense"))
+                     "snp_capacity", "pos_capacity", "with_dense",
+                     "spec_key"))
 def site_stats_compact_u8(counts_u8, corr_idx, corr_val, ref_codes,
                           null_lut, freq_lut, rng_key, true_len,
                           min_cov: int = 5, min_covR: int = 50,
                           rarefied_draws: int = 50,
                           snp_capacity: int = 1024,
                           pos_capacity: int = 1024,
-                          with_dense: bool = False):
+                          with_dense: bool = False,
+                          spec_key=None):
     """
     Single-dispatch compact path with a minimal wire format, for the
     relay-limited host<->device link:
@@ -424,15 +431,89 @@ def site_stats_compact_u8(counts_u8, corr_idx, corr_val, ref_codes,
     """
     c = counts_u8.astype(jnp.int32)
     counts = c.reshape(-1).at[corr_idx].add(corr_val).reshape(c.shape)
-    # dense_total=False: the host reconstructs `total` natively from the
-    # counts it already holds (io.bam.total_cum16), saving a third of the
-    # dense fetch
+    # dense_device=False: the host reconstructs `total` and `clon`
+    # natively from the counts it already holds (io.bam.clon_cum16), so
+    # only the PRNG-dependent clonR can cross the link
     out = _site_stats_compact_traced(
         counts, ref_codes, null_lut, freq_lut, rng_key, true_len,
         min_cov=min_cov, min_covR=min_covR, rarefied_draws=rarefied_draws,
         snp_capacity=snp_capacity, pos_capacity=pos_capacity,
-        with_dense=with_dense, dense_total=False)
-    return _pack_wire(out)
+        with_dense=with_dense, dense_device=False)
+    out = _pack_wire(out)
+    dense = out.pop("dense", None)
+    flat = _pack_out(out, spec_key)
+    return flat + ((dense,) if dense is not None else ())
+
+
+# Wire specs recorded at trace time, keyed by the caller-supplied static
+# spec_key (re-traces repopulate this in new processes; the persistent
+# compile cache only skips XLA compilation, never tracing).
+_WIRE_SPECS: Dict = {}
+
+
+def _pack_out(out, spec_key):
+    """Flatten an output pytree into THREE flat buffers: uint8 (all <=32-
+    bit leaves, bitcast), int64 and float64 (concatenated as-is — the TPU
+    X64 rewrite cannot bitcast 64-bit element types). The relay link pays
+    ~30 ms latency PER fetched buffer and a chunk's output has ~40
+    leaves; three packed fetches replace them all. bool ships as uint8."""
+    leaves, treedef = jax.tree_util.tree_flatten(out)
+    parts8, parts64i, parts64f = [], [], []
+    spec = []
+    for x in leaves:
+        f = x.reshape(-1)
+        if f.dtype == jnp.bool_:
+            f = f.astype(jnp.uint8)
+        wd = np.dtype(f.dtype)
+        if wd.itemsize == 8:
+            if wd.kind == "f":
+                spec.append((x.shape, np.dtype(x.dtype), wd, "f64"))
+                parts64f.append(f.astype(jnp.float64))
+            else:
+                spec.append((x.shape, np.dtype(x.dtype), wd, "i64"))
+                parts64i.append(f.astype(jnp.int64))
+        else:
+            spec.append((x.shape, np.dtype(x.dtype), wd, "u8"))
+            b = (f if f.dtype == jnp.uint8
+                 else jax.lax.bitcast_convert_type(f, jnp.uint8))
+            parts8.append(b.reshape(-1))
+    _WIRE_SPECS[spec_key] = (treedef, spec)
+
+    def cat(parts, dtype):
+        return (jnp.concatenate(parts) if parts
+                else jnp.zeros(0, dtype=dtype))
+
+    return (cat(parts8, jnp.uint8), cat(parts64i, jnp.int64),
+            cat(parts64f, jnp.float64))
+
+
+def unpack_wire(flats, spec_key):
+    """Host-side inverse of _pack_out (zero-copy views into the fetched
+    buffers). flats = (u8, i64, f64) numpy arrays."""
+    flat8, flat64i, flat64f = flats
+    treedef, spec = _WIRE_SPECS[spec_key]
+    leaves = []
+    offs = {"u8": 0, "i64": 0, "f64": 0}
+    for shape, dtype, wire_dtype, stream in spec:
+        cnt = int(np.prod(shape, dtype=np.int64))
+        if stream == "u8":
+            n = cnt * wire_dtype.itemsize
+            buf = flat8[offs["u8"]:offs["u8"] + n]
+            if dtype == np.bool_:
+                arr = buf.view(np.bool_).reshape(shape)
+            else:
+                arr = buf.view(dtype).reshape(shape)
+            offs["u8"] += n
+        elif stream == "i64":
+            arr = flat64i[offs["i64"]:offs["i64"] + cnt].view(
+                dtype).reshape(shape)
+            offs["i64"] += cnt
+        else:
+            arr = flat64f[offs["f64"]:offs["f64"] + cnt].view(
+                dtype).reshape(shape)
+            offs["f64"] += cnt
+        leaves.append(arr)
+    return jax.tree_util.tree_unflatten(treedef, leaves)
 
 
 def _pack_wire(out):
@@ -455,14 +536,16 @@ def _pack_wire(out):
 @functools.partial(
     jax.jit,
     static_argnames=("min_cov", "min_covR", "rarefied_draws",
-                     "snp_capacity", "pos_capacity", "with_dense"))
+                     "snp_capacity", "pos_capacity", "with_dense",
+                     "spec_key"))
 def site_stats_compact_batch_u8(counts_u8, corr_idx, corr_val, ref_codes,
                                 lens, null_lut, freq_lut, rng_keys,
                                 min_cov: int = 5, min_covR: int = 50,
                                 rarefied_draws: int = 50,
                                 snp_capacity: int = 1024,
                                 pos_capacity: int = 1024,
-                                with_dense: bool = False):
+                                with_dense: bool = False,
+                                spec_key=None):
     """Batched (vmapped) u8 wire-format variant of site_stats_compact_u8:
     counts_u8 [S, M, 4, L] saturated uint8, corrections flat-indexed into
     the whole stack; per-scaffold packed masks / int16 linkage counts /
@@ -476,10 +559,13 @@ def site_stats_compact_batch_u8(counts_u8, corr_idx, corr_val, ref_codes,
             c1, r, null_lut, freq_lut, k, l, min_cov=min_cov,
             min_covR=min_covR, rarefied_draws=rarefied_draws,
             snp_capacity=snp_capacity, pos_capacity=pos_capacity,
-            with_dense=with_dense, dense_total=False)
+            with_dense=with_dense, dense_device=False)
         return _pack_wire(out)
 
-    return jax.vmap(one)(counts, ref_codes, lens, rng_keys)
+    out = jax.vmap(one)(counts, ref_codes, lens, rng_keys)
+    dense = out.pop("dense", None)
+    flat = _pack_out(out, spec_key)
+    return flat + ((dense,) if dense is not None else ())
 
 
 @functools.partial(jax.jit, static_argnames=("snp_capacity", "pos_capacity"))

@@ -14,6 +14,7 @@ from __future__ import annotations
 from typing import Dict, Optional
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 import pandas as pd
 
@@ -116,18 +117,24 @@ def _run_compact_u8(counts: np.ndarray, ref_codes: np.ndarray, L: int,
     packed = pack_counts_u8(counts)
     if packed is None:
         return None
+    from ..kernels.sitestats import unpack_wire
     u8, cidx, cval = packed
     for _ in range(4):
+        skey = ("u8", counts.shape, _SPEC_CAPS["snp"], _SPEC_CAPS["pos"],
+                with_dense, min_cov, rarefied_coverage)
         res = site_stats_compact_u8(
             u8, cidx, cval, ref_codes, null_lut, freq_lut, key,
             np.int32(L), min_cov=min_cov, min_covR=rarefied_coverage,
             rarefied_draws=rarefied_coverage,
             snp_capacity=_SPEC_CAPS["snp"],
-            pos_capacity=_SPEC_CAPS["pos"], with_dense=with_dense)
-        # fetch dense arrays selectively: clonR stays on device (and is
-        # never transferred) when no position reaches rarefied coverage
-        dense_dev = res.pop("dense", None)
-        out = jax.device_get(res)
+            pos_capacity=_SPEC_CAPS["pos"], with_dense=with_dense,
+            spec_key=skey)
+        # ONE packed fetch for everything except the dense clonR, which
+        # stays on device (and is never transferred) when no position
+        # reaches rarefied coverage
+        dense_dev = res[3] if with_dense else None
+        out = unpack_wire((np.asarray(res[0]), np.asarray(res[1]),
+                           np.asarray(res[2])), skey)
         if bool(out["linkage"].pop("cum_overflow")):
             return None
         n_rows = int(out["rows"]["n_rows"])
@@ -142,12 +149,12 @@ def _run_compact_u8(counts: np.ndarray, ref_codes: np.ndarray, L: int,
                     m["bases_mask"], axis=-1)[:, :Lp].astype(bool))
             out["linkage"]["cum"] = out["linkage"]["cum"].astype(np.int32)
             if dense_dev is not None:
-                clon = np.asarray(dense_dev["clon"])
+                shape = counts.shape[0], counts.shape[2]
                 if out["agg"]["rarefied"].sum() > 0:
                     clonR = np.asarray(dense_dev["clonR"])
                 else:
-                    clonR = np.broadcast_to(np.float32(np.nan), clon.shape)
-                out["dense"] = dict(clon=clon, clonR=clonR)
+                    clonR = np.broadcast_to(np.float32(np.nan), shape)
+                out["dense"] = dict(clonR=clonR)
             return out
         before = (_SPEC_CAPS["snp"], _SPEC_CAPS["pos"])
         _SPEC_CAPS["snp"] = max(_SPEC_CAPS["snp"], _pow2_capacity(n_rows))
@@ -221,11 +228,11 @@ def run_site_stats_hybrid(pileup: ScaffoldPileup, ref_codes: np.ndarray,
     out_u8 = _run_compact_u8(counts, ref_codes, L, null_lut, freq_lut, key,
                              min_cov, rarefied_coverage, with_dense=True)
     if out_u8 is not None:
-        from ..io.bam import total_cum16
+        from ..io.bam import clon_cum16
         dense = out_u8.pop("dense")
         cs = HybridStats(pileup, out_u8, M, L)
-        cs.dense = {"total": total_cum16(counts, M),
-                    "clon": np.asarray(dense["clon"]),
+        total, clon = clon_cum16(counts, M, min_cov)
+        cs.dense = {"total": total, "clon": clon,
                     "clonR": np.asarray(dense["clonR"])}
         return cs
     counts = jax.device_put(counts)
@@ -364,7 +371,9 @@ def run_site_stats_compact_batch(pileups, ref_codes_list, null_lut,
         # oversized ones.
         bucket16 = all(pu.counts.dtype == np.int16 for _, pu, _ in items)
         if bucket16:
-            per_scaffold = Mp * Lp * (8 if with_dense else 1) + Mp * 4 * Lp
+            # u8 wire: uint8 counts in; only clonR (f32, often skipped)
+            # rides out — total/clon are host-reconstructed
+            per_scaffold = Mp * Lp * (4 if with_dense else 1) + Mp * 4 * Lp
         else:
             per_scaffold = (Mp * Lp * (12 if with_dense else 4) +
                             4 * Mp * 4 * Lp)
@@ -402,33 +411,36 @@ def run_site_stats_compact_batch(pileups, ref_codes_list, null_lut,
                                         corr_capacity=4096 + 64 * S)
             if packed is not None:
                 from ..kernels.sitestats import site_stats_compact_batch_u8
+                from ..kernels.sitestats import unpack_wire
                 u8, cidx, cval = packed
                 snp_cap = min(_SPEC_CAPS["snp"], Mp * Lp)
                 pos_cap = min(_SPEC_CAPS["pos"], Lp)
+                skey = ("u8b", counts.shape, snp_cap, pos_cap,
+                        with_dense, min_cov, rarefied_coverage)
                 res = site_stats_compact_batch_u8(
                     u8, cidx, cval, refs, lens, null_lut, freq_lut,
-                    np.stack(keys), min_cov=min_cov,
+                    jnp.stack(keys), min_cov=min_cov,
                     min_covR=rarefied_coverage,
                     rarefied_draws=rarefied_coverage,
                     snp_capacity=snp_cap, pos_capacity=pos_cap,
-                    with_dense=with_dense)
-                # selective dense fetch: the chunk's clonR never crosses
-                # the link when nothing reached rarefied coverage
-                dense_dev = res.pop("dense", None)
-                out = jax.device_get(res)
+                    with_dense=with_dense, spec_key=skey)
+                # ONE packed fetch; the chunk's clonR never crosses the
+                # link when nothing reached rarefied coverage
+                dense_dev = res[3] if with_dense else None
+                out = unpack_wire((np.asarray(res[0]), np.asarray(res[1]),
+                                   np.asarray(res[2])), skey)
                 if dense_dev is not None:
-                    clon = np.asarray(dense_dev["clon"])
                     if out["agg"]["rarefied"].sum() > 0:
                         clonR = np.asarray(dense_dev["clonR"])
                     else:
                         clonR = np.broadcast_to(np.float32(np.nan),
-                                                clon.shape)
-                    out["dense"] = dict(clon=clon, clonR=clonR)
+                                                (S, Mp, Lp))
+                    out["dense"] = dict(clonR=clonR)
                 wire_u8 = True
                 cum_overflow = out["linkage"].pop("cum_overflow")
             else:
                 out = jax.device_get(site_stats_compact_batch(
-                    counts, refs, lens, null_lut, freq_lut, np.stack(keys),
+                    counts, refs, lens, null_lut, freq_lut, jnp.stack(keys),
                     min_cov=min_cov, min_covR=rarefied_coverage,
                     rarefied_draws=rarefied_coverage,
                     snp_capacity=SNP_CAPACITY, pos_capacity=POS_CAPACITY,
@@ -465,10 +477,10 @@ def run_site_stats_compact_batch(pileups, ref_codes_list, null_lut,
                     cs.linkage["cum"] = cs.linkage["cum"].astype(np.int32)
                 if with_dense:
                     if wire_u8:
-                        from ..io.bam import total_cum16
+                        from ..io.bam import clon_cum16
+                        total, clon = clon_cum16(counts[k], M, min_cov)
                         cs.dense = {
-                            "total": total_cum16(counts[k], M),
-                            "clon": np.asarray(dense["clon"][k]),
+                            "total": total, "clon": clon,
                             "clonR": np.asarray(dense["clonR"][k])}
                     else:
                         cs.dense = {kk: np.asarray(v[k])

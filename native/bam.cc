@@ -831,6 +831,48 @@ extern "C" void bd_total_cum16(const int16_t* counts, int32_t n_mm,
     }
 }
 
+/*
+ * Cumulative totals AND clonality from an int16 count tensor [n_mm,4,Lp]
+ * in one pass: out_total as bd_total_cum16; out_clon[m,p] =
+ * sum_b (cum_b / max(T,1))^2 in float32 where the exact level is present
+ * at p and T >= min_cov, else NaN — mirroring the device kernel
+ * (kernels/sitestats.py site_stats clon). Lets the hybrid/batch engines
+ * skip fetching the dense clonality array over the relay link entirely
+ * (it was ~60%% of multi-scaffold profile wall time).
+ */
+extern "C" void bd_clon_cum16(const int16_t* counts, int32_t n_mm,
+                              int64_t Lp, int32_t min_cov,
+                              int32_t* out_total, float* out_clon) {
+    std::vector<int32_t> cum(4 * Lp, 0);
+    const float kNaN = __builtin_nanf("");
+    int32_t* c0 = cum.data();
+    int32_t* c1 = cum.data() + Lp;
+    int32_t* c2 = cum.data() + 2 * Lp;
+    int32_t* c3 = cum.data() + 3 * Lp;
+    for (int32_t m = 0; m < n_mm; ++m) {
+        const int16_t* a = counts + (int64_t)m * 4 * Lp;
+        int32_t* ot = out_total + (int64_t)m * Lp;
+        float* oc = out_clon + (int64_t)m * Lp;
+        for (int64_t p = 0; p < Lp; ++p) {
+            int16_t e0 = a[p], e1 = a[Lp + p], e2 = a[2 * Lp + p],
+                    e3 = a[3 * Lp + p];
+            c0[p] += e0; c1[p] += e1; c2[p] += e2; c3[p] += e3;
+            int32_t T = c0[p] + c1[p] + c2[p] + c3[p];
+            ot[p] = T;
+            if ((e0 | e1 | e2 | e3) != 0 && T >= min_cov) {
+                float tf = (float)T;
+                if (tf < 1.0f) tf = 1.0f;
+                float p0 = (float)c0[p] / tf, p1 = (float)c1[p] / tf;
+                float p2f = (float)c2[p] / tf, p3 = (float)c3[p] / tf;
+                /* tree order to match XLA's 4-lane reduction */
+                oc[p] = (p0 * p0 + p1 * p1) + (p2f * p2f + p3 * p3);
+            } else {
+                oc[p] = kNaN;
+            }
+        }
+    }
+}
+
 /* Extract counted events at masked positions (for linkage capture):
  * fills pos/base/mm_idx/qname arrays up to `capacity`, returns the true
  * number of matching events (may exceed capacity — caller re-calls). */

@@ -106,6 +106,8 @@ int64_t bd_pack_counts_u8(const int16_t* counts, int64_t n, uint8_t* out,
                           int32_t* corr_idx, int32_t* corr_val, int64_t cap);
 void bd_total_cum16(const int16_t* counts, int32_t n_mm, int64_t Lp,
                     int32_t* out_total);
+void bd_clon_cum16(const int16_t* counts, int32_t n_mm, int64_t Lp,
+                   int32_t min_cov, int32_t* out_total, float* out_clon);
 #ifdef __cplusplus
 }
 #endif
