@@ -94,10 +94,16 @@ def _padded_inputs(pileup: ScaffoldPileup, ref_codes: np.ndarray):
     return counts, np.ascontiguousarray(ref_codes), M, L
 
 
-# Speculative capacities for the single-dispatch u8 path: a process-wide
-# high-water mark (pow2). An overflow costs one extra kernel run+compile,
-# then every later scaffold reuses the raised capacity.
-_SPEC_CAPS = {"snp": 1024, "pos": 1024}
+# Speculative capacities for the single-dispatch u8 paths: per-bucket
+# (padded shape) high-water marks (pow2). An overflow costs one extra
+# kernel run+compile, then every later launch of that bucket reuses the
+# raised capacity. Low floor: capacity padding is pure wire waste on the
+# relay link (SNV counts per scaffold are typically O(100)).
+_SPEC_CAPS: Dict = {}
+
+
+def _bucket_caps(shape) -> Dict:
+    return _SPEC_CAPS.setdefault(tuple(shape), {"snp": 256, "pos": 256})
 
 
 def _run_compact_u8(counts: np.ndarray, ref_codes: np.ndarray, L: int,
@@ -119,15 +125,16 @@ def _run_compact_u8(counts: np.ndarray, ref_codes: np.ndarray, L: int,
         return None
     from ..kernels.sitestats import unpack_wire
     u8, cidx, cval = packed
-    for _ in range(4):
-        skey = ("u8", counts.shape, _SPEC_CAPS["snp"], _SPEC_CAPS["pos"],
+    caps = _bucket_caps(counts.shape)
+    for _ in range(8):
+        skey = ("u8", counts.shape, caps["snp"], caps["pos"],
                 with_dense, min_cov, rarefied_coverage)
         res = site_stats_compact_u8(
             u8, cidx, cval, ref_codes, null_lut, freq_lut, key,
             np.int32(L), min_cov=min_cov, min_covR=rarefied_coverage,
             rarefied_draws=rarefied_coverage,
-            snp_capacity=_SPEC_CAPS["snp"],
-            pos_capacity=_SPEC_CAPS["pos"], with_dense=with_dense,
+            snp_capacity=caps["snp"],
+            pos_capacity=caps["pos"], with_dense=with_dense,
             spec_key=skey)
         # ONE packed fetch for everything except the dense clonR, which
         # stays on device (and is never transferred) when no position
@@ -139,7 +146,7 @@ def _run_compact_u8(counts: np.ndarray, ref_codes: np.ndarray, L: int,
             return None
         n_rows = int(out["rows"]["n_rows"])
         n_pos = int(out["linkage"]["n_pos"])
-        if (n_rows <= _SPEC_CAPS["snp"] and n_pos <= _SPEC_CAPS["pos"]):
+        if (n_rows <= caps["snp"] and n_pos <= caps["pos"]):
             Lp = counts.shape[-1]
             m = out["masks"]
             out["masks"] = dict(
@@ -156,10 +163,10 @@ def _run_compact_u8(counts: np.ndarray, ref_codes: np.ndarray, L: int,
                     clonR = np.broadcast_to(np.float32(np.nan), shape)
                 out["dense"] = dict(clonR=clonR)
             return out
-        before = (_SPEC_CAPS["snp"], _SPEC_CAPS["pos"])
-        _SPEC_CAPS["snp"] = max(_SPEC_CAPS["snp"], _pow2_capacity(n_rows))
-        _SPEC_CAPS["pos"] = max(_SPEC_CAPS["pos"], _pow2_capacity(n_pos))
-        if (_SPEC_CAPS["snp"], _SPEC_CAPS["pos"]) == before:
+        before = (caps["snp"], caps["pos"])
+        caps["snp"] = max(caps["snp"], _pow2_capacity(n_rows, lo=256))
+        caps["pos"] = max(caps["pos"], _pow2_capacity(n_pos, lo=256))
+        if (caps["snp"], caps["pos"]) == before:
             return None  # capacity ceiling: retrying cannot help
     return None
 
@@ -413,8 +420,9 @@ def run_site_stats_compact_batch(pileups, ref_codes_list, null_lut,
                 from ..kernels.sitestats import site_stats_compact_batch_u8
                 from ..kernels.sitestats import unpack_wire
                 u8, cidx, cval = packed
-                snp_cap = min(_SPEC_CAPS["snp"], Mp * Lp)
-                pos_cap = min(_SPEC_CAPS["pos"], Lp)
+                caps = _bucket_caps(counts.shape[1:])
+                snp_cap = min(caps["snp"], Mp * Lp)
+                pos_cap = min(caps["pos"], Lp)
                 skey = ("u8b", counts.shape, snp_cap, pos_cap,
                         with_dense, min_cov, rarefied_coverage)
                 res = site_stats_compact_batch_u8(
@@ -492,11 +500,11 @@ def run_site_stats_compact_batch(pileups, ref_codes_list, null_lut,
                         bool(cum_overflow[k])):
                     # this scaffold overflowed the batch wire capacity;
                     # the caller re-runs it on the right-sizing
-                    # per-scaffold path. Raise the speculative capacity
-                    # high-water mark for later launches.
-                    _SPEC_CAPS["snp"] = max(_SPEC_CAPS["snp"],
-                                            _pow2_capacity(n_rows))
-                    _SPEC_CAPS["pos"] = max(_SPEC_CAPS["pos"],
-                                            _pow2_capacity(n_pos))
+                    # per-scaffold path. Raise this bucket's speculative
+                    # capacity high-water mark for later launches.
+                    caps["snp"] = max(caps["snp"],
+                                      _pow2_capacity(n_rows, lo=256))
+                    caps["pos"] = max(caps["pos"],
+                                      _pow2_capacity(n_pos, lo=256))
                     results[i] = None
     return results
