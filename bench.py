@@ -94,7 +94,7 @@ def main():
     # shared stdio relay whose device<->host latency varies by minutes run
     # to run; min over repeats measures the pipeline, not relay weather.
     steadies = []
-    for _ in range(4):
+    for _ in range(6):
         t0 = time.time()
         run_once(refseq, luts)
         steadies.append(time.time() - t0)
