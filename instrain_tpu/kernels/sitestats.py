@@ -424,8 +424,9 @@ def site_stats_compact_u8(counts_u8, corr_idx, corr_val, ref_codes,
            corrections for cells > 255 (io.bam.pack_counts_u8)
       out: _compact_from_full with bit-packed position masks and int16
            linkage counts (+ overflow flag; the caller falls back to the
-           two-phase int32 path in the rare >32767-coverage case)
-    One host->device put, one dispatch, one device_get — no capacity
+           two-phase int32 path in the rare >32767-coverage case),
+           flattened into ONE uint64 wire buffer (_pack_out)
+    One host->device put, one dispatch, ONE device_get — no capacity
     round-trip (the caller retries with larger static capacities if the
     speculative ones overflow).
     """
@@ -451,14 +452,27 @@ def site_stats_compact_u8(counts_u8, corr_idx, corr_val, ref_codes,
 _WIRE_SPECS: Dict = {}
 
 
+# f64 leaves cross the wire as round(x * 2^26) int64 + an f32 residual.
+# The only f64 outputs are clon_sum/clonR_sum: sums of <= L f32 clonality
+# values, each in [0.25, 1] (sum of squared frequencies over 4 alleles),
+# so x * 2^26 is an exact integer <= 2^41 and the residual is exactly 0 —
+# the encoding is lossless for them. Any future nonconforming f64 leaf
+# degrades gracefully to ~f32-residual accuracy instead of breaking.
+_F64_SCALE = float(1 << 26)
+
+
 def _pack_out(out, spec_key):
-    """Flatten an output pytree into THREE flat buffers: uint8 (all <=32-
-    bit leaves, bitcast), int64 and float64 (concatenated as-is — the TPU
-    X64 rewrite cannot bitcast 64-bit element types). The relay link pays
-    ~30 ms latency PER fetched buffer and a chunk's output has ~40
-    leaves; three packed fetches replace them all. bool ships as uint8."""
+    """Flatten an output pytree into ONE flat uint64 buffer. The relay
+    link pays ~25 ms latency PER fetched buffer regardless of size and a
+    chunk's output has ~40 leaves; a single packed fetch replaces them
+    all. <=32-bit leaves (bool as uint8) bitcast into a byte stream;
+    int64 leaves ride as-is; float64 leaves use the exact scaled-int64 +
+    f32-residual encoding (the TPU X64 rewrite cannot bitcast 64-bit
+    element types, and emulated-f64 frexp does not lower). Both streams
+    concatenate into uint64 words (little-endian byte order on this
+    host/device pair, asserted by the wire roundtrip tests)."""
     leaves, treedef = jax.tree_util.tree_flatten(out)
-    parts8, parts64i, parts64f = [], [], []
+    parts8, parts64 = [], []
     spec = []
     for x in leaves:
         f = x.reshape(-1)
@@ -467,11 +481,21 @@ def _pack_out(out, spec_key):
         wd = np.dtype(f.dtype)
         if wd.itemsize == 8:
             if wd.kind == "f":
-                spec.append((x.shape, np.dtype(x.dtype), wd, "f64"))
-                parts64f.append(f.astype(jnp.float64))
+                spec.append((x.shape, np.dtype(x.dtype), wd, "f64s"))
+                f = f.astype(jnp.float64)
+                conforming = jnp.isfinite(f) & (jnp.abs(f) < 2.0 ** 36)
+                k = jnp.where(conforming,
+                              jnp.round(f * _F64_SCALE), 0.0)
+                k = k.astype(jnp.int64)
+                r = jnp.where(conforming,
+                              f - k.astype(jnp.float64) / _F64_SCALE,
+                              f).astype(jnp.float32)
+                parts64.append(k)
+                parts8.append(jax.lax.bitcast_convert_type(
+                    r, jnp.uint8).reshape(-1))
             else:
                 spec.append((x.shape, np.dtype(x.dtype), wd, "i64"))
-                parts64i.append(f.astype(jnp.int64))
+                parts64.append(f.astype(jnp.int64))
         else:
             spec.append((x.shape, np.dtype(x.dtype), wd, "u8"))
             b = (f if f.dtype == jnp.uint8
@@ -479,39 +503,54 @@ def _pack_out(out, spec_key):
             parts8.append(b.reshape(-1))
     _WIRE_SPECS[spec_key] = (treedef, spec)
 
-    def cat(parts, dtype):
-        return (jnp.concatenate(parts) if parts
-                else jnp.zeros(0, dtype=dtype))
+    s8 = (jnp.concatenate(parts8) if parts8
+          else jnp.zeros(0, dtype=jnp.uint8))
+    pad = (-s8.shape[0]) % 8
+    if pad:
+        s8 = jnp.concatenate([s8, jnp.zeros(pad, dtype=jnp.uint8)])
+    w8 = (jax.lax.bitcast_convert_type(s8.reshape(-1, 8), jnp.uint64)
+          if s8.shape[0] else jnp.zeros(0, dtype=jnp.uint64))
+    s64 = (jnp.concatenate(parts64) if parts64
+           else jnp.zeros(0, dtype=jnp.int64))
+    w64 = jax.lax.bitcast_convert_type(s64, jnp.uint64)
+    return (jnp.concatenate([w8, w64]),)
 
-    return (cat(parts8, jnp.uint8), cat(parts64i, jnp.int64),
-            cat(parts64f, jnp.float64))
 
-
-def unpack_wire(flats, spec_key):
-    """Host-side inverse of _pack_out (zero-copy views into the fetched
-    buffers). flats = (u8, i64, f64) numpy arrays."""
-    flat8, flat64i, flat64f = flats
+def unpack_wire(wire, spec_key):
+    """Host-side inverse of _pack_out (zero-copy views into the single
+    fetched uint64 buffer)."""
     treedef, spec = _WIRE_SPECS[spec_key]
+    n8 = sum(int(np.prod(shape, dtype=np.int64)) *
+             (4 if stream == "f64s" else wire_dtype.itemsize)
+             for shape, dtype, wire_dtype, stream in spec
+             if stream in ("u8", "f64s"))
+    words8 = (n8 + 7) // 8
+    raw = np.ascontiguousarray(wire).view(np.uint8)
+    flat8 = raw[:n8]
+    flat64 = raw[words8 * 8:].view("<i8")
     leaves = []
-    offs = {"u8": 0, "i64": 0, "f64": 0}
+    off8 = 0
+    off64 = 0
     for shape, dtype, wire_dtype, stream in spec:
         cnt = int(np.prod(shape, dtype=np.int64))
         if stream == "u8":
             n = cnt * wire_dtype.itemsize
-            buf = flat8[offs["u8"]:offs["u8"] + n]
+            buf = flat8[off8:off8 + n]
             if dtype == np.bool_:
                 arr = buf.view(np.bool_).reshape(shape)
             else:
                 arr = buf.view(dtype).reshape(shape)
-            offs["u8"] += n
+            off8 += n
         elif stream == "i64":
-            arr = flat64i[offs["i64"]:offs["i64"] + cnt].view(
-                dtype).reshape(shape)
-            offs["i64"] += cnt
-        else:
-            arr = flat64f[offs["f64"]:offs["f64"] + cnt].view(
-                dtype).reshape(shape)
-            offs["f64"] += cnt
+            arr = flat64[off64:off64 + cnt].view(dtype).reshape(shape)
+            off64 += cnt
+        else:  # f64s: scaled int64 + f32 residual
+            k = flat64[off64:off64 + cnt]
+            off64 += cnt
+            r = flat8[off8:off8 + cnt * 4].view(np.float32)
+            off8 += cnt * 4
+            arr = (k.astype(np.float64) / _F64_SCALE +
+                   r.astype(np.float64)).reshape(shape)
         leaves.append(arr)
     return jax.tree_util.tree_unflatten(treedef, leaves)
 

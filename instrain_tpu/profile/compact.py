@@ -139,9 +139,8 @@ def _run_compact_u8(counts: np.ndarray, ref_codes: np.ndarray, L: int,
         # ONE packed fetch for everything except the dense clonR, which
         # stays on device (and is never transferred) when no position
         # reaches rarefied coverage
-        dense_dev = res[3] if with_dense else None
-        out = unpack_wire((np.asarray(res[0]), np.asarray(res[1]),
-                           np.asarray(res[2])), skey)
+        dense_dev = res[1] if with_dense else None
+        out = unpack_wire(np.asarray(res[0]), skey)
         if bool(out["linkage"].pop("cum_overflow")):
             return None
         n_rows = int(out["rows"]["n_rows"])
@@ -434,9 +433,8 @@ def run_site_stats_compact_batch(pileups, ref_codes_list, null_lut,
                     with_dense=with_dense, spec_key=skey)
                 # ONE packed fetch; the chunk's clonR never crosses the
                 # link when nothing reached rarefied coverage
-                dense_dev = res[3] if with_dense else None
-                out = unpack_wire((np.asarray(res[0]), np.asarray(res[1]),
-                                   np.asarray(res[2])), skey)
+                dense_dev = res[1] if with_dense else None
+                out = unpack_wire(np.asarray(res[0]), skey)
                 if dense_dev is not None:
                     if out["agg"]["rarefied"].sum() > 0:
                         clonR = np.asarray(dense_dev["clonR"])

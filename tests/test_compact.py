@@ -255,3 +255,56 @@ def test_batch_u8_wire_taken(tmp_path, ref_null_model):
     finally:
         K.site_stats_compact_batch_u8 = orig
     assert calls and all(d == np.uint8 for d in calls)
+
+
+def test_wire_roundtrip_single_buffer():
+    """_pack_out flattens a pytree into ONE uint64 buffer and unpack_wire
+    inverts it exactly: <=32-bit leaves bitcast, int64 as-is, and f64
+    leaves (clon_sum-shaped sums of f32 clonalities in [0.25, 1]) via the
+    lossless scaled-int64 + f32-residual encoding."""
+    import jax
+    import jax.numpy as jnp
+    from instrain_tpu.kernels import sitestats as K
+
+    rng = np.random.default_rng(7)
+    # f64 leaf shaped like clon_sum: sums of f32 values in [0.25, 1]
+    vals32 = (0.25 + 0.75 * rng.random((16, 1000)).astype(np.float32))
+    clon_sum = vals32.astype(np.float64).sum(axis=1)
+    tree = {
+        "a_bool": rng.random(37) > 0.5,
+        "b_i8": rng.integers(-100, 100, 23).astype(np.int8),
+        "c_u8": rng.integers(0, 255, 11).astype(np.uint8),
+        "d_i16": rng.integers(-30000, 30000, (3, 5)).astype(np.int16),
+        "e_i32": rng.integers(-2**31, 2**31 - 1, 9).astype(np.int32),
+        "f_f32": rng.random(13).astype(np.float32),
+        "g_i64": rng.integers(-2**62, 2**62, 7).astype(np.int64),
+        "h_f64": clon_sum,
+        "i_f64_edge": np.array([0.0, np.nan, np.inf, -np.inf,
+                                -12345.0 / (1 << 26)]),
+        "j_scalarish": np.array([5], dtype=np.int64),
+    }
+    spec_key = ("wire-roundtrip-test",)
+    (wire,) = jax.jit(
+        lambda t: K._pack_out(t, spec_key))(
+            jax.tree_util.tree_map(jnp.asarray, tree))
+    wire = np.asarray(wire)
+    assert wire.dtype == np.uint64 and wire.ndim == 1
+    out = K.unpack_wire(wire, spec_key)
+    for name, orig in tree.items():
+        got = np.asarray(out[name])
+        assert got.shape == orig.shape, name
+        if name == "h_f64":
+            # lossless for conforming sums
+            assert np.array_equal(got, orig), name
+        elif name == "i_f64_edge":
+            fin = np.isfinite(orig)
+            assert np.array_equal(got[fin], orig[fin])  # exact (scaled or
+            # residual-representable values)
+            assert np.isnan(got[1]) and got[2] == np.inf
+            assert got[3] == -np.inf
+        else:
+            if orig.dtype == np.bool_:
+                assert np.array_equal(got.astype(bool), orig), name
+            else:
+                assert np.array_equal(got, orig), name
+            assert got.dtype == orig.dtype, name
