@@ -11,6 +11,7 @@
 #include <cstdlib>
 #include <cstring>
 #include <string>
+#include <chrono>
 #include <thread>
 #include <unordered_map>
 #include <algorithm>
@@ -22,11 +23,43 @@ extern "C" const char* bd_error(void) { return g_err.c_str(); }
 
 namespace {
 
+// Default-init allocator: vector<T, dinit_alloc<T>>::resize() skips the
+// zero-fill. This host throttles big memory writes ~30x, so memsetting
+// tens of MB of event buffers that the fill pass immediately overwrites
+// dominated decode time; every rvec buffer below is fully written before
+// it is read.
+template <class T, class A = std::allocator<T>>
+struct dinit_alloc : public A {
+    template <class U>
+    struct rebind {
+        using other = dinit_alloc<
+            U, typename std::allocator_traits<A>::template rebind_alloc<U>>;
+    };
+    using A::A;
+    template <class U>
+    void construct(U* p) noexcept(
+        std::is_nothrow_default_constructible<U>::value) {
+        ::new (static_cast<void*>(p)) U;
+    }
+    template <class U, class... Args>
+    void construct(U* p, Args&&... args) {
+        std::allocator_traits<A>::construct(static_cast<A&>(*this), p,
+                                            std::forward<Args>(args)...);
+    }
+};
+
+}  // namespace
+
+template <class T>
+using rvec = std::vector<T, dinit_alloc<T>>;
+
+namespace {
+
 // ---------------- BGZF ----------------
 
 struct Block { size_t in_off; uint32_t in_len; size_t out_off; uint32_t out_len; };
 
-bool read_file(const char* path, std::vector<uint8_t>& buf) {
+bool read_file(const char* path, rvec<uint8_t>& buf) {
     FILE* f = fopen(path, "rb");
     if (!f) { g_err = std::string("cannot open ") + path; return false; }
     fseek(f, 0, SEEK_END);
@@ -40,7 +73,7 @@ bool read_file(const char* path, std::vector<uint8_t>& buf) {
     return true;
 }
 
-bool bgzf_scan(const std::vector<uint8_t>& in, std::vector<Block>& blocks) {
+bool bgzf_scan(const rvec<uint8_t>& in, std::vector<Block>& blocks) {
     size_t p = 0, out = 0;
     while (p + 18 <= in.size()) {
         if (in[p] != 0x1f || in[p + 1] != 0x8b) { g_err = "bad gzip magic"; return false; }
@@ -68,8 +101,8 @@ bool bgzf_scan(const std::vector<uint8_t>& in, std::vector<Block>& blocks) {
     return true;
 }
 
-bool bgzf_inflate(const std::vector<uint8_t>& in, const std::vector<Block>& blocks,
-                  std::vector<uint8_t>& out, int threads) {
+bool bgzf_inflate(const rvec<uint8_t>& in, const std::vector<Block>& blocks,
+                  rvec<uint8_t>& out, int threads) {
     size_t total = blocks.empty() ? 0 : blocks.back().out_off + blocks.back().out_len;
     out.resize(total);
     std::atomic<size_t> next{0};
@@ -131,27 +164,49 @@ struct BamData {
     std::vector<int32_t> ev_len;
     std::vector<uint8_t> pileup_ok;
 
-    std::vector<int32_t> ev_pos;
-    std::vector<uint8_t> ev_base;
-    std::vector<uint8_t> ev_qual;
+    rvec<int32_t> ev_pos;
+    rvec<uint8_t> ev_base;
+    rvec<uint8_t> ev_qual;
 
     std::string qname_blob;
     std::vector<int64_t> qname_off;
 
     // retained for BAQ: per-record cigar + full seq codes + quals
-    std::vector<uint32_t> cig_buf;
+    rvec<uint32_t> cig_buf;
     std::vector<int64_t> cig_off;
     std::vector<int32_t> cig_n;
-    std::vector<uint8_t> seq_buf;   // full query codes
-    std::vector<uint8_t> qual_buf;  // full query quals
+    rvec<uint8_t> seq_buf;   // full query codes
+    rvec<uint8_t> qual_buf;  // full query quals
     std::vector<int64_t> seq_off;
     std::vector<int32_t> seq_len;
-    // map event index back to query base index (for BAQ/overlap re-apply)
-    std::vector<int32_t> ev_qpos;
 
     // per-ref record ranges (records are coordinate-sorted within ref)
     std::vector<int64_t> ref_rec_begin, ref_rec_end;
 };
+
+/*
+ * Re-derive each event's query-base index by walking the record's cigar
+ * (events are emitted in cigar order, so qpos is reconstructable and is
+ * not stored — the fill pass is write-bandwidth-bound on this host).
+ * Calls f(event_index_within_record, qpos) for every aligned base.
+ */
+template <class F>
+static void walk_event_qpos(const BamData* h, int64_t r, F&& f) {
+    const uint32_t* cig = &h->cig_buf[h->cig_off[r]];
+    int32_t n = h->cig_n[r];
+    int64_t y = 0;
+    int32_t j = 0;
+    for (int32_t k = 0; k < n; ++k) {
+        int op = cg_op(cig[k]);
+        int64_t l = cg_len(cig[k]);
+        if (op == CMATCH || op == CEQUAL || op == CDIFF) {
+            for (int64_t i = 0; i < l; ++i) f(j++, (int32_t)(y + i));
+            y += l;
+        } else if (op == CINS || op == CSOFT) {
+            y += l;
+        }
+    }
+}
 
 static int32_t parse_nm_tag(const uint8_t* p, const uint8_t* end) {
     while (p + 3 <= end) {
@@ -193,11 +248,30 @@ static int32_t parse_nm_tag(const uint8_t* p, const uint8_t* end) {
     return -1;
 }
 
-extern "C" BamData* bd_open(const char* path, int threads) {
-    std::vector<uint8_t> raw;
-    if (!read_file(path, raw)) return nullptr;
+// Set INSTRAIN_IO_TIMING=1 to print per-phase decode timings to stderr.
+static bool timing_on() {
+    static int v = -1;
+    if (v < 0) {
+        const char* e = getenv("INSTRAIN_IO_TIMING");
+        v = (e && *e && *e != '0') ? 1 : 0;
+    }
+    return v == 1;
+}
 
-    std::vector<uint8_t> data;
+extern "C" BamData* bd_open(const char* path, int threads) {
+    auto tick = std::chrono::steady_clock::now();
+    auto lap = [&tick](const char* what) {
+        if (!timing_on()) return;
+        auto now = std::chrono::steady_clock::now();
+        fprintf(stderr, "[bd_open] %-10s %.1f ms\n", what,
+                std::chrono::duration<double, std::milli>(now - tick).count());
+        tick = now;
+    };
+    rvec<uint8_t> raw;
+    if (!read_file(path, raw)) return nullptr;
+    lap("read");
+
+    rvec<uint8_t> data;
     if (raw.size() >= 4 && raw[0] == 0x1f && raw[1] == 0x8b) {
         std::vector<Block> blocks;
         if (!bgzf_scan(raw, blocks)) return nullptr;
@@ -206,6 +280,7 @@ extern "C" BamData* bd_open(const char* path, int threads) {
     } else {
         data = std::move(raw);  // uncompressed BAM
     }
+    lap("inflate");
 
     if (data.size() < 12 || memcmp(data.data(), "BAM\1", 4) != 0) {
         g_err = "not a BAM file";
@@ -241,6 +316,7 @@ extern "C" BamData* bd_open(const char* path, int threads) {
         }
     }
     const int64_t nrec_raw = (int64_t)roff.size();
+    lap("bounds");
     int T = threads;
     if (T < 1) T = 1;
     int hw = (int)std::thread::hardware_concurrency();
@@ -284,6 +360,7 @@ extern "C" BamData* bd_open(const char* path, int threads) {
         for (int t = 0; t < T; ++t) ts.emplace_back(count_work, t);
         for (auto& t : ts) t.join();
     }
+    lap("count");
 
     std::vector<ChunkSz> base(T + 1);
     for (int t = 0; t < T; ++t) {
@@ -296,7 +373,7 @@ extern "C" BamData* bd_open(const char* path, int threads) {
     const int64_t NC = base[T].cig, NS = base[T].seq;
 
     h->ev_pos.resize(NE); h->ev_base.resize(NE);
-    h->ev_qual.resize(NE); h->ev_qpos.resize(NE);
+    h->ev_qual.resize(NE);
     h->seq_buf.resize(NS); h->qual_buf.resize(NS);
     h->cig_buf.resize(NC);
     for (auto* v32 : {&h->ref_id, &h->pos, &h->nm, &h->qlen_infer,
@@ -307,6 +384,7 @@ extern "C" BamData* bd_open(const char* path, int threads) {
     for (auto* v64 : {&h->qname_id, &h->ev_off, &h->cig_off, &h->seq_off})
         v64->resize(NR);
     std::vector<std::pair<const char*, uint32_t>> qview(NR);
+    lap("alloc");
 
     // Pass 2 (parallel): full parse, writing at chunk base offsets.
     auto fill_work = [&](int t) {
@@ -349,7 +427,6 @@ extern "C" BamData* bd_open(const char* path, int threads) {
                         h->ev_pos[ei] = (int32_t)(x + j);
                         h->ev_base[ei] = NIB2CODE[nib];
                         h->ev_qual[ei] = qual[qi] == 0xff ? 0 : qual[qi];
-                        h->ev_qpos[ei] = (int32_t)qi;
                         ++ei;
                     }
                     if (rstart < 0) rstart = (int32_t)x;
@@ -399,6 +476,7 @@ extern "C" BamData* bd_open(const char* path, int threads) {
         for (int t = 0; t < T; ++t) ts.emplace_back(fill_work, t);
         for (auto& t : ts) t.join();
     }
+    lap("fill");
 
     // Pass 3 (serial): qname intern in record order + per-ref spans.
     std::unordered_map<std::string, int64_t> qmap;
@@ -422,6 +500,7 @@ extern "C" BamData* bd_open(const char* path, int threads) {
         if (h->ref_rec_begin[refID] < 0) h->ref_rec_begin[refID] = r;
         h->ref_rec_end[refID] = r + 1;
     }
+    lap("qnames");
     return h;
 }
 
@@ -466,9 +545,9 @@ extern "C" void bd_apply_baq(BamData* h, int32_t ref_id,
             // matching the BAQ-then-tweak pileup order) and to events
             memcpy(&h->qual_buf[h->seq_off[r]], outq.data(), l_qseq);
             int64_t e0 = h->ev_off[r];
-            int32_t el = h->ev_len[r];
-            for (int32_t j = 0; j < el; ++j)
-                h->ev_qual[e0 + j] = outq[h->ev_qpos[e0 + j]];
+            walk_event_qpos(h, r, [&](int32_t j, int32_t qi) {
+                h->ev_qual[e0 + j] = outq[qi];
+            });
         }
     };
     std::vector<std::thread> ts;
@@ -591,10 +670,10 @@ static void tweak_pair_htslib(BamData* h, int64_t a, int64_t b,
 
 static void refresh_events(BamData* h, int64_t r) {
     int64_t e0 = h->ev_off[r];
-    int32_t el = h->ev_len[r];
     const uint8_t* q = &h->qual_buf[h->seq_off[r]];
-    for (int32_t j = 0; j < el; ++j)
-        h->ev_qual[e0 + j] = q[h->ev_qpos[e0 + j]];
+    walk_event_qpos(h, r, [&](int32_t j, int32_t qi) {
+        h->ev_qual[e0 + j] = q[qi];
+    });
 }
 
 extern "C" void bd_tweak_overlaps_ex(BamData* h, int include_orphans,
@@ -980,7 +1059,7 @@ extern "C" BamData* bd_open_sam(const char* path) {
      * upfront event reservations. (This host's memory allocator is
      * bandwidth-throttled; the copy-heavy first version parsed at only
      * ~7k records/s.) Short strings (qname/rname) stay SSO-cheap. */
-    std::vector<uint8_t> raw;
+    rvec<uint8_t> raw;
     if (!read_file(path, raw)) return nullptr;
     auto h = new BamData();
     std::unordered_map<std::string, int32_t> ref_ids;
@@ -990,7 +1069,7 @@ extern "C" BamData* bd_open_sam(const char* path) {
     const char* data = (const char*)raw.data();
     /* SEQ+QUAL are roughly half of each record line */
     h->ev_pos.reserve(n / 2); h->ev_base.reserve(n / 2);
-    h->ev_qual.reserve(n / 2); h->ev_qpos.reserve(n / 2);
+    h->ev_qual.reserve(n / 2);
     h->seq_buf.reserve(n / 4); h->qual_buf.reserve(n / 4);
 
     auto span_int = [](const char* s, size_t l) -> int64_t {
@@ -1123,7 +1202,6 @@ extern "C" BamData* bd_open_sam(const char* path) {
                     h->ev_qual.push_back(
                         star_qual || qi >= (int64_t)qual_l
                             ? 0 : (uint8_t)(qual_s[qi] - 33));
-                    h->ev_qpos.push_back((int32_t)qi);
                 }
                 if (rstart < 0) rstart = (int32_t)x;
                 rend = (int32_t)(x + l - 1);
@@ -1136,7 +1214,7 @@ extern "C" BamData* bd_open_sam(const char* path) {
         }
         if (rstart < 0) {
             h->ev_pos.resize(ev0); h->ev_base.resize(ev0);
-            h->ev_qual.resize(ev0); h->ev_qpos.resize(ev0);
+            h->ev_qual.resize(ev0);
             continue;
         }
         std::string qname(fp[0], fn[0]);
