@@ -90,6 +90,11 @@ def build_parser() -> argparse.ArgumentParser:
                    help="kernel path: dense (host arrays, chunked), "
                         "hybrid (device-side compaction), batch (vmapped "
                         "same-bucket scaffolds); auto picks by backend")
+    g.add_argument("--mesh_devices", default=0, type=int,
+                   help="shard the profile kernels over the first N "
+                        "devices of a 1-D mesh (position axis per "
+                        "scaffold, scaffold axis for batches); 0 = "
+                        "single device")
 
     # ---- compare ----
     p = sub.add_parser("compare")
@@ -200,6 +205,7 @@ def profile_config_from_args(args) -> ProfileConfig:
         gene_file=args.gene_file, stb=args.stb,
         detailed_mapping_info=args.detailed_mapping_info)
     cfg.engine = getattr(args, "engine", "auto")
+    cfg.mesh_devices = getattr(args, "mesh_devices", 0)
     cfg.filter.min_read_ani = args.min_read_ani
     cfg.filter.min_mapq = args.min_mapq
     cfg.filter.max_insert_relative = args.max_insert_relative

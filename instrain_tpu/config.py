@@ -74,10 +74,15 @@ class ProfileConfig:
 
     # TPU execution parameters (no reference equivalent; replaces the
     # reference's process-pool cost model, profile_controller.py:397-465)
-    engine: str = "auto"               # auto|dense|hybrid kernel path
+    engine: str = "auto"               # auto|dense|hybrid|batch kernel path
     max_mm_buckets: int = 33           # dense mm-axis width before bucketing
     position_tile: int = 16384         # positions per device tile (pad unit)
     seed: int = 42                     # PRNG key for rarefied metrics
+    # multi-chip: shard the profile kernels over the first N devices of a
+    # 1-D jax.sharding.Mesh (0/1 = single device). Replaces the
+    # reference's worker pools (profile_controller.py:157-193); see
+    # parallel/mesh.py for the sharding layouts.
+    mesh_devices: int = 0
 
     def apply_database_mode(self) -> "ProfileConfig":
         """reference: controller.py:211-214."""

@@ -1,133 +1,103 @@
 """
-Multi-chip execution: genome-axis sharding over a jax.sharding.Mesh.
+Multi-chip execution of the real profile compute path over a
+jax.sharding.Mesh.
 
-The reference parallelizes with process pools over 10 kb genome windows and
-a merge stage (SURVEY §2.16). The TPU-native equivalent shards the
-position axis (the workload's "sequence" axis) across devices: each device
-owns a slab of position tiles, runs the fused site-stats kernel locally,
-and scaffold-level summaries reduce across the mesh with psum — the
-reductions ride ICI, while host->device routing of read batches is the
-only DCN traffic.
+The reference parallelizes profiling with process pools over 10 kb genome
+windows plus a scaffold-level merge stage
+(profile/profile_controller.py:157-193,243-271). The TPU-native
+equivalent shards the SAME fused kernels the single-chip engines run —
+multi-chip is an execution placement, not a separate code path:
 
-`sharded_profile_step` is the canonical multi-chip step: counts tensors
-[tiles, M, 4, tile_len] sharded over the mesh on the tile axis ->
-per-position stats (sharded) + scaffold-level reductions (replicated).
+- position sharding ("pos"): a scaffold's count tensor [M, 4, L] shards
+  along L. Every heavy quantity in kernels.sitestats.site_stats is
+  position-local, so the math runs embarrassingly parallel; the
+  on-device compaction (compact_outputs_with_dense) jit-compiles with
+  the sharded operands and XLA's SPMD partitioner inserts the
+  collectives (psum for the per-mm scaffold aggregates, a distributed
+  sort for the medians, all-gathers for the nonzero row compaction).
+  Bit-identical to the single-device run whenever the bucket-padded
+  position axis divides the mesh (tests/test_parallel.py asserts full
+  SNV/scaffold/linkage table equality 1-vs-8 devices); with further
+  mesh padding only the PRNG-based rarefied columns can shift (the
+  counter-based draws are indexed by padded position).
+- scaffold sharding ("s"): the batch engine's bucket stacks
+  [S, Mp, 4, Lp] shard along S. Per-scaffold programs are independent,
+  so this is the exact analogue of the reference's split-worker pool
+  with devices replacing processes; results are bit-identical to the
+  unsharded batch for every scaffold.
+
+Both paths return the same CompactStats/HybridStats objects the
+single-device engines produce, so tables/linkage/genes/storage run
+unchanged downstream. Wired into profile() via ProfileConfig.mesh_devices
+(CLI --mesh_devices).
 """
 
 from __future__ import annotations
 
-import functools
-from typing import Dict, Optional, Tuple
+from typing import Optional, Tuple
 
 import jax
-import jax.numpy as jnp
 import numpy as np
-from jax import shard_map
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
 def make_mesh(n_devices: Optional[int] = None, axis: str = "pos") -> Mesh:
+    """1-D device mesh over the first n_devices (default: all)."""
     devs = jax.devices()
     if n_devices is not None:
+        if len(devs) < n_devices:
+            raise ValueError(
+                f"need {n_devices} devices, have {len(devs)}")
         devs = devs[:n_devices]
     return Mesh(np.array(devs), (axis,))
 
 
-def pad_to_tiles(counts: np.ndarray, ref_codes: np.ndarray, tile_len: int,
-                 n_shards: int):
-    """
-    [M, 4, L] -> ([T, M, 4, tile_len], [T, tile_len], valid mask [T, tile_len])
-    with T a multiple of n_shards (padding tiles are masked out).
-    """
-    M, _, L = counts.shape
-    n_tiles = -(-L // tile_len)
-    n_tiles = -(-n_tiles // n_shards) * n_shards
-    padded_L = n_tiles * tile_len
-    cp = np.zeros((M, 4, padded_L), counts.dtype)
-    cp[:, :, :L] = counts
-    rp = np.full(padded_L, 4, ref_codes.dtype)
-    rp[:L] = ref_codes
-    valid = np.zeros(padded_L, bool)
-    valid[:L] = True
-    tiles = cp.reshape(M, 4, n_tiles, tile_len).transpose(2, 0, 1, 3)
-    return (np.ascontiguousarray(tiles), rp.reshape(n_tiles, tile_len),
-            valid.reshape(n_tiles, tile_len))
+def position_sharding(mesh: Mesh, ndim: int) -> NamedSharding:
+    """NamedSharding splitting the trailing (position) axis."""
+    spec = [None] * ndim
+    spec[-1] = mesh.axis_names[0]
+    return NamedSharding(mesh, P(*spec))
 
 
-def _tile_stats(counts, ref_codes, valid, null_lut, freq_lut, min_cov):
-    """Per-tile site stats (subset of kernels.sitestats used for the
-    scaffold-level reductions). counts [T, M, 4, l]."""
-    cum = jnp.cumsum(counts, axis=1)                 # [T, M, 4, l]
-    total = cum.sum(axis=2)                          # [T, M, l]
-    maxcov = null_lut.shape[0] - 1
-    tc = jnp.minimum(total, maxcov)
-    thresh = jnp.maximum(null_lut[tc], freq_lut[tc])[:, :, None, :]
-    base_present = cum >= thresh
-    morphia = base_present.sum(axis=2)               # [T, M, l]
-    con = jnp.argmax(cum, axis=2)                    # [T, M, l]
-    ref = ref_codes[:, None, :]
-    counted = (total >= min_cov) & valid[:, None, :]
-    present = (counts.sum(axis=2) > 0) & valid[:, None, :]
-    is_snv = counted & present & (
-        (morphia > 1) | ((morphia == 1) & (con != ref)) | (morphia == 0))
-
-    p = cum / jnp.maximum(total, 1)[:, :, None, :]
-    clon = (p * p).sum(axis=2)
-
-    return dict(
-        coverage_sum=jnp.where(valid[:, None, :], total, 0).sum(axis=(0, 2)),
-        covered=((total > 0) & valid[:, None, :]).sum(axis=(0, 2)),
-        counted=counted.sum(axis=(0, 2)),
-        clon_sum=jnp.where(counted & present, clon, 0).sum(axis=(0, 2)),
-        snv_sites=(is_snv & (morphia > 1)).sum(axis=(0, 2)),
-        sns_sites=(is_snv & (morphia == 1)).sum(axis=(0, 2)),
-    )
+def leading_sharding(mesh: Mesh, ndim: int) -> NamedSharding:
+    """NamedSharding splitting the leading (scaffold/batch) axis."""
+    spec = [None] * ndim
+    spec[0] = mesh.axis_names[0]
+    return NamedSharding(mesh, P(*spec))
 
 
-@functools.partial(jax.jit,
-                   static_argnames=("mesh", "min_cov"))
-def sharded_profile_step(counts, ref_codes, valid, null_lut, freq_lut,
-                         mesh: Mesh, min_cov: int = 5):
-    """
-    The full multi-chip profile step: tiles sharded over the mesh, local
-    fused stats, psum-reduced scaffold aggregates.
-
-    counts: [T, M, 4, tile_len] (T divisible by mesh size)
-    Returns {metric: [M]} aggregates, replicated on all devices.
-    """
-    axis = mesh.axis_names[0]
-    spec_tiles = P(axis)
-    spec_rep = P()
-
-    def step(counts, ref_codes, valid, null_lut, freq_lut):
-        local = _tile_stats(counts, ref_codes, valid, null_lut, freq_lut,
-                            min_cov)
-        return {k: jax.lax.psum(v, axis) for k, v in local.items()}
-
-    return shard_map(
-        step, mesh=mesh,
-        in_specs=(spec_tiles, spec_tiles, spec_tiles, spec_rep, spec_rep),
-        out_specs=spec_rep,
-    )(counts, ref_codes, valid, null_lut, freq_lut)
-
-
-def sharded_scaffold_summary(counts: np.ndarray, ref_codes: np.ndarray,
-                             mesh: Mesh, null_lut: np.ndarray,
-                             freq_lut: np.ndarray, tile_len: int = 2048,
-                             min_cov: int = 5) -> Dict[str, np.ndarray]:
-    """Host-side wrapper: pad/tile one scaffold, place shardings, run."""
+def place_position_sharded(counts: np.ndarray, ref_codes: np.ndarray,
+                           mesh: Mesh) -> Tuple[jax.Array, jax.Array]:
+    """Pad the position axis to a multiple of the mesh size (zero counts /
+    ref code 4 — masked naturally downstream) and device_put both arrays
+    sharded along it."""
     n = mesh.devices.size
-    tiles, refs, valid = pad_to_tiles(counts, ref_codes, tile_len, n)
-    axis = mesh.axis_names[0]
-    sh = NamedSharding(mesh, PartitionSpecLead(axis))
-    out = sharded_profile_step(
-        jax.device_put(tiles, NamedSharding(mesh, P(axis))),
-        jax.device_put(refs, NamedSharding(mesh, P(axis))),
-        jax.device_put(valid, NamedSharding(mesh, P(axis))),
-        jnp.asarray(null_lut), jnp.asarray(freq_lut),
-        mesh=mesh, min_cov=min_cov)
-    return {k: np.asarray(v) for k, v in out.items()}
+    M, B, L = counts.shape
+    Lp = -(-L // n) * n
+    if Lp != L:
+        cp = np.zeros((M, B, Lp), counts.dtype)
+        cp[:, :, :L] = counts
+        rp = np.full(Lp, 4, ref_codes.dtype)
+        rp[:L] = ref_codes
+        counts, ref_codes = cp, rp
+    return (jax.device_put(counts, position_sharding(mesh, 3)),
+            jax.device_put(ref_codes, position_sharding(mesh, 1)))
 
 
-def PartitionSpecLead(axis):
-    return P(axis)
+def place_batch_sharded(arrays: dict, mesh: Mesh) -> dict:
+    """Pad every array's leading (scaffold) axis to a multiple of the mesh
+    size and device_put sharded along it. Padding scaffolds carry zero
+    counts and length 0, which the batch kernel masks out entirely."""
+    n = mesh.devices.size
+    S = next(iter(arrays.values())).shape[0]
+    Sp = -(-S // n) * n
+    out = {}
+    for k, a in arrays.items():
+        a = np.asarray(a)
+        if Sp != S:
+            pad = np.zeros((Sp - S,) + a.shape[1:], a.dtype)
+            if k == "ref_codes":
+                pad[:] = 4
+            a = np.concatenate([a, pad], axis=0)
+        out[k] = jax.device_put(a, leading_sharding(mesh, a.ndim))
+    return out

@@ -170,35 +170,56 @@ def _run_compact_u8(counts: np.ndarray, ref_codes: np.ndarray, L: int,
     return None
 
 
-def run_site_stats_compact(pileup: ScaffoldPileup, ref_codes: np.ndarray,
-                           null_lut: np.ndarray, freq_lut: np.ndarray,
-                           min_cov: int = 5, rarefied_coverage: int = 50,
-                           seed: int = 42) -> CompactStats:
-    """
-    Single-dispatch u8 run when the counts fit (the common case), else a
-    two-phase compact run: (1) the fused kernel leaves its dense outputs on
-    device and only two scalars (row/position counts) come back; (2) the
-    compaction gather runs with right-sized power-of-two capacities. Total
-    device->host traffic is proportional to the actual number of SNVs.
-    """
-    counts, ref_codes, M, L = _padded_inputs(pileup, ref_codes)
-    key = jax.random.fold_in(jax.random.PRNGKey(seed), pileup.rid)
-    out_u8 = _run_compact_u8(counts, ref_codes, L, null_lut, freq_lut, key,
-                             min_cov, rarefied_coverage)
-    if out_u8 is not None:
-        return CompactStats(pileup, out_u8, M, L)
-    # one host->device transfer of the count tensor; both kernel calls
-    # below reuse the device-resident buffer
-    counts = jax.device_put(counts)
+def _run_two_phase(counts, ref_codes, L, null_lut, freq_lut, key,
+                   min_cov, rarefied_coverage, with_dense: bool,
+                   mesh=None):
+    """Two-phase compact run: (1) the fused kernel leaves its dense
+    outputs on device and only two scalars (row/position counts) come
+    back; (2) the compaction gather runs with right-sized power-of-two
+    capacities. With `mesh`, inputs are placed position-sharded across
+    the device mesh and XLA SPMD-partitions both phases
+    (parallel/mesh.py)."""
+    if mesh is not None:
+        from ..parallel.mesh import place_position_sharded
+        counts, ref_codes = place_position_sharded(
+            np.asarray(counts), np.asarray(ref_codes), mesh)
+    else:
+        # one host->device transfer of the count tensor; both kernel
+        # calls reuse the device-resident buffer
+        counts = jax.device_put(counts)
     full = site_stats(counts, ref_codes, null_lut,
                       freq_lut, key, min_cov=min_cov,
                       min_covR=rarefied_coverage,
                       rarefied_draws=rarefied_coverage)
     n_rows, n_pos = jax.device_get(compact_sizes(full))
-    out = compact_outputs(full, counts, L,
-                          snp_capacity=_pow2_capacity(int(n_rows)),
-                          pos_capacity=_pow2_capacity(int(n_pos)))
-    return CompactStats(pileup, jax.device_get(out), M, L)
+    fn = compact_outputs_with_dense if with_dense else compact_outputs
+    out = fn(full, counts, L,
+             snp_capacity=_pow2_capacity(int(n_rows)),
+             pos_capacity=_pow2_capacity(int(n_pos)))
+    return jax.device_get(out)
+
+
+def run_site_stats_compact(pileup: ScaffoldPileup, ref_codes: np.ndarray,
+                           null_lut: np.ndarray, freq_lut: np.ndarray,
+                           min_cov: int = 5, rarefied_coverage: int = 50,
+                           seed: int = 42, mesh=None) -> CompactStats:
+    """
+    Single-dispatch u8 run when the counts fit (the common case), else a
+    two-phase compact run. Total device->host traffic is proportional to
+    the actual number of SNVs. With `mesh`, the two-phase path runs
+    position-sharded over the device mesh.
+    """
+    counts, ref_codes, M, L = _padded_inputs(pileup, ref_codes)
+    key = jax.random.fold_in(jax.random.PRNGKey(seed), pileup.rid)
+    if mesh is None:
+        out_u8 = _run_compact_u8(counts, ref_codes, L, null_lut, freq_lut,
+                                 key, min_cov, rarefied_coverage)
+        if out_u8 is not None:
+            return CompactStats(pileup, out_u8, M, L)
+    out = _run_two_phase(counts, ref_codes, L, null_lut, freq_lut, key,
+                         min_cov, rarefied_coverage, with_dense=False,
+                         mesh=mesh)
+    return CompactStats(pileup, out, M, L)
 
 
 class HybridStats(CompactStats):
@@ -223,34 +244,30 @@ class HybridStats(CompactStats):
 def run_site_stats_hybrid(pileup: ScaffoldPileup, ref_codes: np.ndarray,
                           null_lut: np.ndarray, freq_lut: np.ndarray,
                           min_cov: int = 5, rarefied_coverage: int = 50,
-                          seed: int = 42) -> HybridStats:
+                          seed: int = 42, mesh=None) -> HybridStats:
     """Hybrid run: compact outputs plus the storage-needed dense arrays.
     u8 single-dispatch when the counts fit (clon/clonR fetched, total
     reconstructed natively on host from the counts we already hold), else
     the two-phase path (~9 MB/scaffold instead of ~40 MB for the full
-    dict)."""
+    dict). With `mesh`, the two-phase path runs position-sharded over the
+    device mesh (parallel/mesh.py)."""
     counts, ref_codes, M, L = _padded_inputs(pileup, ref_codes)
     key = jax.random.fold_in(jax.random.PRNGKey(seed), pileup.rid)
-    out_u8 = _run_compact_u8(counts, ref_codes, L, null_lut, freq_lut, key,
-                             min_cov, rarefied_coverage, with_dense=True)
-    if out_u8 is not None:
-        from ..io.bam import clon_cum16
-        dense = out_u8.pop("dense")
-        cs = HybridStats(pileup, out_u8, M, L)
-        total, clon = clon_cum16(counts, M, min_cov)
-        cs.dense = {"total": total, "clon": clon,
-                    "clonR": np.asarray(dense["clonR"])}
-        return cs
-    counts = jax.device_put(counts)
-    full = site_stats(counts, ref_codes, null_lut,
-                      freq_lut, key, min_cov=min_cov,
-                      min_covR=rarefied_coverage,
-                      rarefied_draws=rarefied_coverage)
-    n_rows, n_pos = jax.device_get(compact_sizes(full))
-    out = compact_outputs_with_dense(
-        full, counts, L, snp_capacity=_pow2_capacity(int(n_rows)),
-        pos_capacity=_pow2_capacity(int(n_pos)))
-    out = jax.device_get(out)
+    if mesh is None:
+        out_u8 = _run_compact_u8(counts, ref_codes, L, null_lut, freq_lut,
+                                 key, min_cov, rarefied_coverage,
+                                 with_dense=True)
+        if out_u8 is not None:
+            from ..io.bam import clon_cum16
+            dense = out_u8.pop("dense")
+            cs = HybridStats(pileup, out_u8, M, L)
+            total, clon = clon_cum16(counts, M, min_cov)
+            cs.dense = {"total": total, "clon": clon,
+                        "clonR": np.asarray(dense["clonR"])}
+            return cs
+    out = _run_two_phase(counts, ref_codes, L, null_lut, freq_lut, key,
+                         min_cov, rarefied_coverage, with_dense=True,
+                         mesh=mesh)
     dense = out.pop("dense")
     cs = HybridStats(pileup, out, M, L)
     cs.dense = {k: np.asarray(v) for k, v in dense.items()}
@@ -343,7 +360,8 @@ def run_site_stats_compact_batch(pileups, ref_codes_list, null_lut,
                                  freq_lut, min_cov: int = 5,
                                  rarefied_coverage: int = 50,
                                  seed: int = 42, with_dense: bool = False,
-                                 max_chunk_bytes: int = 32 << 20):
+                                 max_chunk_bytes: int = 32 << 20,
+                                 mesh=None):
     """
     Batch same-bucket scaffolds through one kernel launch.
 
@@ -353,6 +371,11 @@ def run_site_stats_compact_batch(pileups, ref_codes_list, null_lut,
     total/clon/clonR arrays ride along and the results are HybridStats
     (usable by the full profile pipeline); buckets are chunked so one
     launch moves at most ~max_chunk_bytes of dense output.
+
+    With `mesh`, each chunk's stack is sharded along the scaffold axis
+    across the device mesh (parallel/mesh.py) — the multi-chip analogue
+    of the reference's split-worker pool; per-scaffold results are
+    bit-identical to the unsharded batch.
 
     Returns list of CompactStats/HybridStats in input order.
     """
@@ -411,7 +434,7 @@ def run_site_stats_compact_batch(pileups, ref_codes_list, null_lut,
             # packed masks / int16 linkage counts on the way back, and
             # speculative capacities bounded by the bucket shape
             packed = None
-            if all16 and counts.size < (1 << 31):
+            if all16 and counts.size < (1 << 31) and mesh is None:
                 from ..io.bam import pack_counts_u8
                 packed = pack_counts_u8(counts,
                                         corr_capacity=4096 + 64 * S)
@@ -445,8 +468,19 @@ def run_site_stats_compact_batch(pileups, ref_codes_list, null_lut,
                 wire_u8 = True
                 cum_overflow = out["linkage"].pop("cum_overflow")
             else:
+                keys_arr = np.stack([np.asarray(kk) for kk in keys])
+                if mesh is not None:
+                    from ..parallel.mesh import place_batch_sharded
+                    placed = place_batch_sharded(
+                        dict(counts=counts, ref_codes=refs, lens=lens,
+                             keys=keys_arr), mesh)
+                    counts_d, refs_d = placed["counts"], placed["ref_codes"]
+                    lens_d, keys_d = placed["lens"], placed["keys"]
+                else:
+                    counts_d, refs_d, lens_d, keys_d = (counts, refs, lens,
+                                                        keys_arr)
                 out = jax.device_get(site_stats_compact_batch(
-                    counts, refs, lens, null_lut, freq_lut, jnp.stack(keys),
+                    counts_d, refs_d, lens_d, null_lut, freq_lut, keys_d,
                     min_cov=min_cov, min_covR=rarefied_coverage,
                     rarefied_draws=rarefied_coverage,
                     snp_capacity=SNP_CAPACITY, pos_capacity=POS_CAPACITY,
@@ -499,10 +533,12 @@ def run_site_stats_compact_batch(pileups, ref_codes_list, null_lut,
                     # this scaffold overflowed the batch wire capacity;
                     # the caller re-runs it on the right-sizing
                     # per-scaffold path. Raise this bucket's speculative
-                    # capacity high-water mark for later launches.
-                    caps["snp"] = max(caps["snp"],
-                                      _pow2_capacity(n_rows, lo=256))
-                    caps["pos"] = max(caps["pos"],
-                                      _pow2_capacity(n_pos, lo=256))
+                    # capacity high-water mark for later launches (u8
+                    # wire only — the int32 path uses fixed capacities).
+                    if wire_u8:
+                        caps["snp"] = max(caps["snp"],
+                                          _pow2_capacity(n_rows, lo=256))
+                        caps["pos"] = max(caps["pos"],
+                                          _pow2_capacity(n_pos, lo=256))
                     results[i] = None
     return results

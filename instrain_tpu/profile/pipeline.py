@@ -139,10 +139,18 @@ def _profile_impl(bam_path: str, fasta_path: str, cfg: ProfileConfig,
 
     results: List[ScaffoldProfileResult] = []
     from ..obs.logging import get_worker_log
+    # multi-chip: shard the kernels over a 1-D device mesh (replaces the
+    # reference's split/merge worker pools, profile_controller.py:157-271)
+    mesh = None
+    if cfg.mesh_devices and cfg.mesh_devices > 1:
+        from ..parallel.mesh import make_mesh
+        mesh = make_mesh(cfg.mesh_devices)
+        logging.info(f"Sharding profile kernels over {cfg.mesh_devices} "
+                     f"devices")
     engine = cfg.engine
     if engine == "auto":
         import jax
-        if jax.default_backend() == "cpu":
+        if mesh is None and jax.default_backend() == "cpu":
             engine = "dense"
         else:
             # many small scaffolds amortize much better through the
@@ -151,7 +159,7 @@ def _profile_impl(bam_path: str, fasta_path: str, cfg: ProfileConfig,
     if engine == "batch" and len(keep) > 1:
         results = _profile_scaffolds_batched(bam, pairs, registry, keep,
                                              cfg, null_lut, freq_lut,
-                                             gene_data)
+                                             gene_data, mesh=mesh)
     else:
         if engine == "batch":
             engine = "hybrid"
@@ -160,7 +168,8 @@ def _profile_impl(bam_path: str, fasta_path: str, cfg: ProfileConfig,
         for name in tqdm(keep, desc="Profiling splits", disable=None):
             logging.debug(get_worker_log("SplitProfile", name, "start"))
             res = _profile_one_scaffold(bam, pairs, registry, name, cfg,
-                                        null_lut, freq_lut, gene_data)
+                                        null_lut, freq_lut, gene_data,
+                                        mesh=mesh)
             logging.debug(get_worker_log("SplitProfile", name, "end"))
             if res is not None:
                 results.append(res)
@@ -205,10 +214,11 @@ def _profile_impl(bam_path: str, fasta_path: str, cfg: ProfileConfig,
 
 
 def _profile_one_scaffold(bam, pairs, registry, name, cfg, null_lut,
-                          freq_lut, gene_data):
+                          freq_lut, gene_data, mesh=None):
     try:
         return _profile_one_scaffold_inner(bam, pairs, registry, name, cfg,
-                                           null_lut, freq_lut, gene_data)
+                                           null_lut, freq_lut, gene_data,
+                                           mesh=mesh)
     except Exception as e:
         # per-scaffold failure containment (reference:
         # profile_utilities.py:92-112 SplitException / MergeError)
@@ -219,7 +229,7 @@ def _profile_one_scaffold(bam, pairs, registry, name, cfg, null_lut,
 
 
 def _profile_one_scaffold_inner(bam, pairs, registry, name, cfg, null_lut,
-                                freq_lut, gene_data):
+                                freq_lut, gene_data, mesh=None):
     # fault-injection hook (reference: FailureScaffoldHeaderTesting magic
     # name, profile_utilities.py:137-139)
     if name == "FailureScaffoldHeaderTesting" and getattr(cfg, "debug",
@@ -230,7 +240,11 @@ def _profile_one_scaffold_inner(bam, pairs, registry, name, cfg, null_lut,
         return None
     L = registry.length_of(name)
     engine = cfg.engine
-    if engine == "auto":
+    if mesh is not None:
+        # sharded execution goes through the two-phase hybrid path
+        # (position axis split over the mesh, parallel/mesh.py)
+        engine = "hybrid"
+    elif engine == "auto":
         import jax
         engine = "dense" if jax.default_backend() == "cpu" else "hybrid"
     # the hybrid (device-compaction) engine transfers the count tensor to
@@ -252,18 +266,22 @@ def _profile_one_scaffold_inner(bam, pairs, registry, name, cfg, null_lut,
 
     ref_codes = registry.codes[name]
     M, _, Lc = pileup.counts.shape
-    if engine == "hybrid" and M * Lc > (1 << 27):
+    if (engine == "hybrid" and
+            M * Lc > (1 << 27) * (mesh.devices.size if mesh is not None
+                                  else 1)):
         # the one-launch compact path needs the whole [M, 4, L] working
-        # set on device; very long scaffolds go through the
-        # position-chunked dense path instead
+        # set on device (split across the mesh when sharded); very long
+        # scaffolds go through the position-chunked dense path instead
         engine = "dense"
+        mesh = None
     if engine == "hybrid":
         # device-side compaction + storage-needed dense arrays only
         from . import compact as compact_mod
         stats = compact_mod.run_site_stats_hybrid(
             pileup, ref_codes, null_lut, freq_lut,
             min_cov=cfg.variant.min_cov,
-            rarefied_coverage=cfg.rarefied_coverage, seed=cfg.seed)
+            rarefied_coverage=cfg.rarefied_coverage, seed=cfg.seed,
+            mesh=mesh)
     else:
         stats = run_site_stats(pileup, ref_codes, null_lut, freq_lut,
                                min_cov=cfg.variant.min_cov,
@@ -307,12 +325,13 @@ def _result_from_stats(name, L, stats, ref_codes, cfg, gene_data):
 
 
 def _profile_scaffolds_batched(bam, pairs, registry, keep, cfg, null_lut,
-                               freq_lut, gene_data):
+                               freq_lut, gene_data, mesh=None):
     """Many-scaffold path: one vmapped kernel launch per (M, L) shape
     bucket instead of one per scaffold (metagenome assemblies commonly
     have thousands of small contigs; per-launch dispatch would dominate).
     Scaffolds that overflow the fixed batch capacities transparently
-    re-run on the right-sizing per-scaffold path."""
+    re-run on the right-sizing per-scaffold path. With `mesh`, each
+    bucket stack is sharded over the device mesh on the scaffold axis."""
     from ..obs.logging import get_worker_log, log_failure
     from . import compact as compact_mod
 
@@ -349,7 +368,7 @@ def _profile_scaffolds_batched(bam, pairs, registry, keep, cfg, null_lut,
         pileups, codes, null_lut, freq_lut,
         min_cov=cfg.variant.min_cov,
         rarefied_coverage=cfg.rarefied_coverage, seed=cfg.seed,
-        with_dense=True)
+        with_dense=True, mesh=mesh)
 
     results = []
     for pu, rc, (name, L), stats in tqdm(
@@ -361,7 +380,7 @@ def _profile_scaffolds_batched(bam, pairs, registry, keep, cfg, null_lut,
                     pu, rc, null_lut, freq_lut,
                     min_cov=cfg.variant.min_cov,
                     rarefied_coverage=cfg.rarefied_coverage,
-                    seed=cfg.seed)
+                    seed=cfg.seed, mesh=mesh)
             results.append(_result_from_stats(name, L, stats, rc, cfg,
                                               gene_data))
         except Exception as e:
