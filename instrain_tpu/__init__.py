@@ -27,6 +27,16 @@ __capability_version__ = "1.9.1"
 # semantics; dtypes in hot paths remain explicitly 32-bit.
 import os as _os
 
+# Virtual CPU devices (sharded runs / tests) may oversubscribe host
+# cores; raise the XLA CPU collective rendezvous watchdog (default 40 s
+# aborts the process on thread skew). Must precede backend init; no
+# effect on TPU. Only effective if jax isn't already imported.
+if "xla_cpu_collective_call_terminate_timeout_seconds" not in \
+        _os.environ.get("XLA_FLAGS", ""):
+    _os.environ["XLA_FLAGS"] = (
+        _os.environ.get("XLA_FLAGS", "") +
+        " --xla_cpu_collective_call_terminate_timeout_seconds=1200")
+
 import jax as _jax
 
 _jax.config.update("jax_enable_x64", True)

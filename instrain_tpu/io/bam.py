@@ -57,7 +57,9 @@ def _load_lib():
         "bd_rec_flag": ct.c_uint16, "bd_rec_mapq": ct.c_uint8,
         "bd_rec_nm": ct.c_int32, "bd_rec_qname_id": ct.c_int64,
         "bd_rec_qlen_infer": ct.c_int32, "bd_rec_ref_start": ct.c_int32,
-        "bd_rec_ref_end": ct.c_int32, "bd_rec_ev_off": ct.c_int64,
+        "bd_rec_ref_end": ct.c_int32, "bd_rec_tlen": ct.c_int32,
+        "bd_rec_mate_pos": ct.c_int32, "bd_rec_mate_ref": ct.c_int32,
+        "bd_rec_ev_off": ct.c_int64,
         "bd_rec_ev_len": ct.c_int32, "bd_rec_pileup_ok": ct.c_uint8,
         "bd_ev_pos": ct.c_int32, "bd_ev_base": ct.c_uint8,
         "bd_ev_qual": ct.c_uint8, "bd_qname_off": ct.c_int64,
@@ -183,6 +185,9 @@ class BamArrays:
     qlen_infer: np.ndarray        # int32
     ref_start: np.ndarray         # int32
     ref_end: np.ndarray           # int32
+    tlen: np.ndarray              # int32 template length (BAM TLEN)
+    mate_pos: np.ndarray          # int32 mate 0-based pos (-1 if unknown)
+    mate_ref: np.ndarray          # int32 mate ref id (-1 if unknown)
     ev_off: np.ndarray            # int64
     ev_len: np.ndarray            # int32
     pileup_ok: np.ndarray         # uint8 (bool)
@@ -354,6 +359,9 @@ def decode_bam(path: str, ref_seqs: Optional[Dict[str, np.ndarray]] = None,
             qlen_infer=_arr(lib.bd_rec_qlen_infer(hp), n, np.int32, ho),
             ref_start=_arr(lib.bd_rec_ref_start(hp), n, np.int32, ho),
             ref_end=_arr(lib.bd_rec_ref_end(hp), n, np.int32, ho),
+            tlen=_arr(lib.bd_rec_tlen(hp), n, np.int32, ho),
+            mate_pos=_arr(lib.bd_rec_mate_pos(hp), n, np.int32, ho),
+            mate_ref=_arr(lib.bd_rec_mate_ref(hp), n, np.int32, ho),
             ev_off=_arr(lib.bd_rec_ev_off(hp), n, np.int64, ho),
             ev_len=_arr(lib.bd_rec_ev_len(hp), n, np.int32, ho),
             pileup_ok=_arr(lib.bd_rec_pileup_ok(hp), n, np.uint8, ho),

@@ -507,8 +507,8 @@ def _subsample_bam(bam, maximum_reads: int, seed: int):
     keep_q = rng.random(n_q) < frac
     keep = keep_q[bam.qname_id]
     for f in ("ref_id", "pos", "flag", "mapq", "nm", "qname_id",
-              "qlen_infer", "ref_start", "ref_end", "ev_off", "ev_len",
-              "pileup_ok"):
+              "qlen_infer", "ref_start", "ref_end", "tlen", "mate_pos",
+              "mate_ref", "ev_off", "ev_len", "pileup_ok"):
         setattr(bam, f, getattr(bam, f)[keep])
     logging.info(f"Subsampled to {bam.n_records} of {n} records "
                  f"(--maximum_reads {maximum_reads})")

@@ -160,6 +160,11 @@ struct BamData {
     std::vector<int32_t> qlen_infer;
     std::vector<int32_t> ref_start;
     std::vector<int32_t> ref_end;
+    // mate fields, needed by the overlap-tweak eligibility rules
+    // (htslib overlap_push; see bd_tweak_overlaps_ex)
+    std::vector<int32_t> tlen;
+    std::vector<int32_t> mate_pos;
+    std::vector<int32_t> mate_ref;
     std::vector<int64_t> ev_off;
     std::vector<int32_t> ev_len;
     std::vector<uint8_t> pileup_ok;
@@ -378,7 +383,7 @@ extern "C" BamData* bd_open(const char* path, int threads) {
     h->cig_buf.resize(NC);
     for (auto* v32 : {&h->ref_id, &h->pos, &h->nm, &h->qlen_infer,
                       &h->ref_start, &h->ref_end, &h->ev_len, &h->cig_n,
-                      &h->seq_len})
+                      &h->seq_len, &h->tlen, &h->mate_pos, &h->mate_ref})
         v32->resize(NR);
     h->flag.resize(NR); h->mapq.resize(NR); h->pileup_ok.resize(NR);
     for (auto* v64 : {&h->qname_id, &h->ev_off, &h->cig_off, &h->seq_off})
@@ -445,6 +450,9 @@ extern "C" BamData* bd_open(const char* path, int threads) {
             h->pos[ri] = rpos;
             h->flag[ri] = fl;
             h->mapq[ri] = mq;
+            memcpy(&h->mate_ref[ri], rec + 20, 4);
+            memcpy(&h->mate_pos[ri], rec + 24, 4);
+            memcpy(&h->tlen[ri], rec + 28, 4);
             h->nm[ri] = parse_nm_tag(tags, rec_end);
             h->qlen_infer[ri] = qlen;
             h->ref_start[ri] = rstart;
@@ -687,8 +695,19 @@ extern "C" void bd_tweak_overlaps_ex(BamData* h, int include_orphans,
      * agreeing bases concentrate quality on the first-encountered mate and
      * zero the second; on disagreement the higher-quality base survives at
      * 0.8x quality. Matching the observed reference behavior, non-proper
-     * pairs ("orphans") are not tweaked unless include_orphans is set. */
-    (void)legacy_walk;
+     * pairs ("orphans") are not tweaked unless include_orphans is set.
+     *
+     * Eligibility mirrors htslib's overlap_push "no overlap possible"
+     * early-out. legacy_walk selects the htslib <= 1.9 form, which skips
+     * a RECORD whenever |tlen| >= 2*l_qseq — so pairs of short (trimmed)
+     * reads with a long template are never tweaked even when they DO
+     * overlap; later htslib refined it to
+     * (mtid != tid) || (|tlen| >= 2*l_qseq && mpos >= pos + l_qseq).
+     * The reference's golden profiles were built on the legacy form:
+     * with it (plus the legacy walk quirk below) the sars golden covT
+     * reproduces bit-exactly at every (mm, position)
+     * (tests/test_sitestats.py::TestSarsGolden). Reference pileup call:
+     * profile/profile_utilities.py:150-153. */
     // pair discovery is a cheap serial hash scan; the per-pair quality
     // rewrites touch disjoint records, so they run in parallel
     std::vector<std::pair<int64_t, int64_t>> pairs;
@@ -705,9 +724,22 @@ extern "C" void bd_tweak_overlaps_ex(BamData* h, int include_orphans,
             if (fl & 0x8) continue;             // mate unmapped
             if (fl & 0x900) continue;           // secondary/supplementary
             if (!include_orphans && !(fl & 0x2)) continue;  // orphan
+            int64_t atl = h->tlen[r] < 0 ? -(int64_t)h->tlen[r]
+                                         : (int64_t)h->tlen[r];
+            if (legacy_walk) {
+                if (atl >= 2 * (int64_t)h->seq_len[r]) continue;
+            } else {
+                if ((h->mate_ref[r] >= 0 && h->mate_ref[r] != (int32_t)ref) ||
+                    (atl >= 2 * (int64_t)h->seq_len[r] &&
+                     h->mate_pos[r] >= (int64_t)h->pos[r] + h->seq_len[r]))
+                    continue;
+            }
             auto it = first_rec.find(h->qname_id[r]);
             if (it == first_rec.end()) {
-                first_rec.emplace(h->qname_id[r], r);
+                // htslib only parks a read whose mate is still to arrive
+                if (h->mate_pos[r] >= h->pos[r] ||
+                    ((fl & 0x1) && h->mate_pos[r] == -1))
+                    first_rec.emplace(h->qname_id[r], r);
                 continue;
             }
             pairs.emplace_back(it->second, r);
@@ -751,6 +783,9 @@ const int64_t* bd_rec_qname_id(BamData* h) { return h->qname_id.data(); }
 const int32_t* bd_rec_qlen_infer(BamData* h) { return h->qlen_infer.data(); }
 const int32_t* bd_rec_ref_start(BamData* h) { return h->ref_start.data(); }
 const int32_t* bd_rec_ref_end(BamData* h) { return h->ref_end.data(); }
+const int32_t* bd_rec_tlen(BamData* h) { return h->tlen.data(); }
+const int32_t* bd_rec_mate_pos(BamData* h) { return h->mate_pos.data(); }
+const int32_t* bd_rec_mate_ref(BamData* h) { return h->mate_ref.data(); }
 const int64_t* bd_rec_ev_off(BamData* h) { return h->ev_off.data(); }
 const int32_t* bd_rec_ev_len(BamData* h) { return h->ev_len.data(); }
 const uint8_t* bd_rec_pileup_ok(BamData* h) { return h->pileup_ok.data(); }
@@ -1043,6 +1078,7 @@ static void sam_sort_records(BamData* h) {
     permute(h->ref_start); permute(h->ref_end); permute(h->ev_off);
     permute(h->ev_len); permute(h->pileup_ok); permute(h->cig_off);
     permute(h->cig_n); permute(h->seq_off); permute(h->seq_len);
+    permute(h->tlen); permute(h->mate_pos); permute(h->mate_ref);
     for (size_t r = 0; r < h->ref_names.size(); ++r) {
         h->ref_rec_begin[r] = -1; h->ref_rec_end[r] = -1;
     }
@@ -1148,6 +1184,15 @@ extern "C" BamData* bd_open_sam(const char* path) {
         }
         int32_t rpos = (int32_t)span_int(fp[3], fn[3]) - 1;
         uint8_t mq = (uint8_t)span_int(fp[4], fn[4]);
+        /* mate fields: RNEXT ('='/'*'/name), PNEXT (1-based), TLEN */
+        int32_t mref = -1;
+        if (fn[6] == 1 && fp[6][0] == '=') mref = refID;
+        else if (!(fn[6] == 1 && fp[6][0] == '*')) {
+            auto mit = ref_ids.find(std::string(fp[6], fn[6]));
+            if (mit != ref_ids.end()) mref = mit->second;
+        }
+        int32_t mpos = (int32_t)span_int(fp[7], fn[7]) - 1;
+        int32_t tl = (int32_t)span_int(fp[8], fn[8]);
         const char* seq_s = fp[9]; size_t seq_l = fn[9];
         const char* qual_s = fp[10]; size_t qual_l = fn[10];
         bool star_qual = (qual_l == 1 && qual_s[0] == '*');
@@ -1239,6 +1284,9 @@ extern "C" BamData* bd_open_sam(const char* path) {
         h->qlen_infer.push_back(qlen);
         h->ref_start.push_back(rstart);
         h->ref_end.push_back(rend);
+        h->tlen.push_back(tl);
+        h->mate_pos.push_back(mpos);
+        h->mate_ref.push_back(mref);
         h->ev_off.push_back(ev0);
         h->ev_len.push_back((int32_t)(h->ev_pos.size() - ev0));
         bool orphan = (fl & 0x1) && !(fl & 0x2);

@@ -50,6 +50,9 @@ const int64_t*  bd_rec_qname_id(BamData* h);
 const int32_t*  bd_rec_qlen_infer(BamData* h);
 const int32_t*  bd_rec_ref_start(BamData* h);
 const int32_t*  bd_rec_ref_end(BamData* h);
+const int32_t*  bd_rec_tlen(BamData* h);
+const int32_t*  bd_rec_mate_pos(BamData* h);
+const int32_t*  bd_rec_mate_ref(BamData* h);
 const int64_t*  bd_rec_ev_off(BamData* h);
 const int32_t*  bd_rec_ev_len(BamData* h);
 const uint8_t*  bd_rec_pileup_ok(BamData* h); /* 1 = participates in pileup */

@@ -9,8 +9,12 @@ import os
 import sys
 
 os.environ["JAX_PLATFORMS"] = "cpu"
-os.environ["XLA_FLAGS"] = (os.environ.get("XLA_FLAGS", "") +
-                           " --xla_force_host_platform_device_count=8")
+# 8 virtual devices share 2 host cores here: raise the CPU collective
+# rendezvous watchdog (default 40 s aborts the process on thread skew)
+os.environ["XLA_FLAGS"] = (
+    os.environ.get("XLA_FLAGS", "") +
+    " --xla_force_host_platform_device_count=8"
+    " --xla_cpu_collective_call_terminate_timeout_seconds=1200")
 
 import jax  # noqa: E402
 

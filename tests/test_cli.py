@@ -165,7 +165,7 @@ def test_cli_surface_matches_reference():
     ref = surface(captured["parser"])
     ours = surface(cli.build_parser())
     assert set(ref) <= set(ours), set(ref) - set(ours)
-    allowed_extra = {"--engine", "--null_model"}
+    allowed_extra = {"--engine", "--null_model", "--mesh_devices"}
     for name in ref:
         missing = ref[name] - ours[name]
         assert not missing, (name, missing)

@@ -133,6 +133,11 @@ def test_profile_sharded_full_table_equality(tmp_path, sars_bam, sars_fasta,
                             skip_genome_wide=True)
         cfg.variant.null_model = ref_null_model
         cfg.mesh_devices = mesh_devices
+        # keep the kernel small: 8 virtual devices share 2 host cores
+        # here, and the XLA CPU collective rendezvous aborts if thread
+        # skew exceeds 40 s — the equality statement is unaffected
+        cfg.filter.maximum_reads = 6000
+        cfg.rarefied_coverage = 8
         outs[label] = profile(sars_bam, sars_fasta, cfg)
 
     # SNV tables: exact

@@ -161,10 +161,13 @@ def test_freq_lut_matches_float_division():
 
 
 class TestSarsGolden:
-    """Golden-file parity on the sars profile (v1.2.4-era golden; see
-    io/bam.py for the pileup-behavior notes; small residuals tolerated)."""
+    """Golden-file parity on the sars profile: BIT-EXACT. The golden was
+    built on a legacy-htslib pileup whose mate-overlap machinery skips any
+    record with |tlen| >= 2*l_qseq (see native/bam.cc
+    bd_tweak_overlaps_ex); with that rule emulated, every SNV row, every
+    covT value and every linkage row reproduces exactly."""
 
-    def test_snp_table_rows(self, sars_profiled, sars_is):
+    def test_snp_table_rows_exact(self, sars_profiled, sars_is):
         from instrain_tpu.profile import tables
         st = sars_profiled["stats"]
         snp = tables.cumulative_snv_table(
@@ -174,15 +177,13 @@ class TestSarsGolden:
         gold = gold.rename(columns={
             "refBase": "ref_base", "conBase": "con_base",
             "varBase": "var_base", "baseCoverage": "position_coverage"})
-        m = pd.merge(gold, snp, on=["position", "mm"], suffixes=("_g", "_o"))
-        # nearly all rows match exactly on call results
-        assert len(m) >= 0.99 * len(gold)
-        for col in ["ref_base", "con_base", "var_base", "allele_count"]:
-            assert (m[col + "_g"] == m[col + "_o"]).all()
-        # counts equal within the overlap-tweak residual
-        for col in ["A", "C", "T", "G"]:
-            assert (m[col + "_g"] - m[col + "_o"]).abs().max() <= 3
-            assert ((m[col + "_g"] != m[col + "_o"]).mean()) < 0.05
+        m = pd.merge(gold, snp, on=["position", "mm"], how="outer",
+                     suffixes=("_g", "_o"), indicator=True)
+        assert (m["_merge"] == "both").all()
+        assert len(m) == len(gold) == len(snp)
+        for col in ["ref_base", "con_base", "var_base", "allele_count",
+                    "A", "C", "T", "G", "position_coverage"]:
+            assert (m[col + "_g"] == m[col + "_o"]).all(), col
 
     def test_coverage_breadth(self, sars_profiled, sars_is):
         from instrain_tpu.profile import tables
@@ -193,28 +194,53 @@ class TestSarsGolden:
             index_col=0)
         m = pd.merge(gold, cov, on="mm", suffixes=("_g", "_o"))
         assert len(m) == len(gold) == len(cov)
-        assert np.allclose(m["breadth_g"], m["breadth_o"], atol=1e-9)
+        assert np.allclose(m["breadth_g"], m["breadth_o"], atol=1e-12)
         assert np.allclose(m["unmaskedBreadth"], m["breadth_minCov"],
-                           atol=1e-9)
-        assert np.allclose(m["coverage_g"], m["coverage_o"], rtol=0.01)
+                           atol=1e-12)
+        assert np.allclose(m["coverage_g"], m["coverage_o"], rtol=1e-12)
+        assert np.array_equal(m["SNPs"], m["divergent_site_count"])
+        assert np.array_equal(m["consensus_SNPs"],
+                              m["consensus_divergent_sites"])
+        assert np.array_equal(m["population_SNPs"],
+                              m["population_divergent_sites"])
+        # clonality means: golden averages float32 values in float64
         assert np.allclose(1 - m["mean_clonality"], m["nucl_diversity"],
-                           atol=1e-3)
+                           atol=1e-6)
 
-    def test_covT_positions(self, sars_profiled, sars_is):
+    def test_covT_positions_exact(self, sars_profiled, sars_is):
         import h5py
         from instrain_tpu.profile import tables
         covT = tables.covT_view(sars_profiled["stats"])
         f = h5py.File(sars_is + "/raw_data/covT.hd5", "r")
-        total_vals = 0
-        equal_vals = 0
+        assert set(int(k.split("::")[1]) for k in f.keys()) == set(covT)
         for k in f.keys():
             mm = int(k.split("::")[1])
             d = np.array(f[k])
-            gpos, gval = d[1].astype(int), d[0]
+            gpos, gval = d[1].astype(int), d[0].astype(int)
             s = covT[mm]
-            merged = pd.merge(
-                pd.Series(gval, index=gpos, name="g"),
-                s.rename("o"), left_index=True, right_index=True)
-            total_vals += len(gpos)
-            equal_vals += (merged["g"] == merged["o"]).sum()
-        assert equal_vals / total_vals > 0.97
+            # identical position sets AND identical values
+            assert np.array_equal(np.sort(gpos), s.index.values), mm
+            assert np.array_equal(
+                gval[np.argsort(gpos, kind="stable")],
+                s.values.astype(int)), mm
+
+    def test_linkage_table_exact(self, sars_profiled, sars_is):
+        from instrain_tpu.profile import linkage as lk
+        st = sars_profiled["stats"]
+        L = st.pileup.length
+        ld = lk.calculate_linkage(st, lk.window_starts_for(L, 10000),
+                                  min_snp=20)
+        gold = pd.read_csv(sars_is + "/raw_data/raw_linkage_table.csv.gz",
+                           index_col=0)
+        key = ["position_A", "position_B", "mm"]
+        m = pd.merge(gold, ld, on=key, how="outer", suffixes=("_g", "_o"),
+                     indicator=True)
+        assert (m["_merge"] == "both").all()
+        assert len(m) == len(gold) == len(ld)
+        for col in ["countAB", "countAb", "countaB", "countab", "total",
+                    "distance", "allele_A", "allele_a", "allele_B",
+                    "allele_b"]:
+            assert (m[col + "_g"] == m[col + "_o"]).all(), col
+        for col in ["r2", "d_prime"]:
+            assert np.allclose(m[col + "_g"], m[col + "_o"], atol=1e-12,
+                               equal_nan=True), col
