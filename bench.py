@@ -1,17 +1,27 @@
 #!/usr/bin/env python
 """
-Benchmark: end-to-end `profile` throughput on the sars-cov-2 test BAM.
+Benchmark (driver-run): ONE JSON line with two end-to-end numbers.
 
-Metric: filtered read pairs per second through the full profile pipeline
-(decode -> filter -> pileup -> site-stats kernel -> SNV/linkage/scaffold
-tables), steady-state (second run, kernels compiled).
+1. headline `value`: filtered read pairs per second through the full
+   profile flow on the sars-cov-2 test BAM (single scaffold: decode ->
+   filter -> pileup -> compact site-stats kernel -> SNV/linkage/scaffold
+   tables), steady-state.
+2. `detail.batch`: the metagenome-scale production path — full profile()
+   through the vmapped batch engine over a synthetic >=5 Mbp
+   multi-scaffold assembly (128 scaffolds x 40 kb, ~30x coverage,
+   planted strain variants; see bench_batch.synth).
+
+Both report a per-phase breakdown (decode / filter / pileup-build /
+pack / h2d / compute / fetch / tables+linkage) so single-chip efficiency
+is judgeable: the device numbers come from synchronized timers inside
+profile/compact.py (compact.TIMINGS).
 
 Baseline: the reference's internal scheduler cost model of
 0.0061401594694834305 s/pair + overhead (~163 pairs/s/core;
 inStrain/profile/profile_controller.py:460-465) at its documented 6-core
 operating point => 977 pairs/s.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...}.
 """
 
 import json
@@ -38,7 +48,7 @@ def load_ref():
     return np.frombuffer(seq.encode(), dtype=np.uint8)
 
 
-def run_once(refseq, luts):
+def run_once_sars(refseq, luts, phases=None):
     from instrain_tpu.config import ReadFilterConfig
     from instrain_tpu.io.bam import decode_bam
     from instrain_tpu.io.fasta import seq_to_codes
@@ -48,21 +58,162 @@ def run_once(refseq, luts):
     from instrain_tpu.profile.filter_reads import filter_reads
     from instrain_tpu.profile.pileup import build_scaffold_pileup_padded
 
+    def mark(key, t0):
+        t1 = time.perf_counter()
+        if phases is not None:
+            phases[key] = phases.get(key, 0.0) + (t1 - t0)
+        return t1
+
+    t = time.perf_counter()
     bam = decode_bam(BAM, ref_seqs={"MT039887.1": refseq}, baq=False)
+    t = mark("decode", t)
     pairs = filter_reads(bam, ReadFilterConfig())
+    t = mark("filter", t)
     pu = build_scaffold_pileup_padded(bam, pairs, 0, len(refseq))
+    t = mark("pileup_build", t)
     rc = seq_to_codes(refseq)
     # compact path: stats + table inputs computed on device, KB-scale
-    # device->host transfers
+    # device->host transfers (pack/h2d/compute/fetch recorded by
+    # compact.TIMINGS when the benchmark enables it)
     cs = compact.run_site_stats_compact(pu, rc, *luts)
+    t = mark("device_total", t)
     snp = compact.snp_table_compact(cs, rc)
     csnv = tables.cumulative_snv_table(snp)
     ctab = compact.coverage_table_compact(cs)
     ws = linkage_mod.window_starts_for(len(refseq), 10000)
     ld = linkage_mod.calculate_linkage(cs, ws, min_snp=20)
+    mark("tables_linkage", t)
     n_pairs = int(pairs.mapping_info["filtered_pairs"].iloc[0])
     n_reads = int(pairs.mapping_info["unfiltered_reads"].iloc[0])
     return n_pairs, n_reads, len(snp), len(ld)
+
+
+def bench_sars():
+    from instrain_tpu.profile import compact
+    from instrain_tpu.profile.pileup import make_luts
+    from instrain_tpu.config import VariantConfig
+
+    refseq = load_ref()
+    luts = make_luts(VariantConfig())
+
+    # warmup (compiles kernels; also warms the throttled host's page cache
+    # and CPU governor — early native-decode calls run ~20x slow)
+    t0 = time.time()
+    n_pairs, n_reads, n_snvs, n_ld = run_once_sars(refseq, luts)
+    warm = time.time() - t0
+
+    # steady state: best of several iterations. The TPU is reached over a
+    # shared stdio relay whose device<->host latency varies by minutes run
+    # to run; min over repeats measures the pipeline, not relay weather.
+    steadies, all_phases = [], []
+    for _ in range(6):
+        phases = {}
+        compact.TIMINGS = {}
+        t0 = time.time()
+        run_once_sars(refseq, luts, phases=phases)
+        steadies.append(time.time() - t0)
+        phases.update(compact.TIMINGS)
+        compact.TIMINGS = None
+        all_phases.append(phases)
+    i_best = int(np.argmin(steadies))
+    steady = steadies[i_best]
+    ph = all_phases[i_best]
+
+    pairs_per_sec = n_pairs / steady
+    return {
+        "pairs_per_sec": round(pairs_per_sec, 1),
+        "vs_baseline": round(pairs_per_sec / BASELINE_PAIRS_PER_SEC, 2),
+        "filtered_pairs": n_pairs,
+        "records": n_reads,
+        "snv_rows": n_snvs,
+        "linkage_rows": n_ld,
+        "warmup_s": round(warm, 2),
+        "steady_s": round(steady, 2),
+        "steady_all_s": [round(s, 2) for s in steadies],
+        "positions_per_sec": round(len(refseq) / steady, 1),
+        "reads_per_sec": round(n_reads / steady, 1),
+        "breakdown_s": {k: round(v, 4) if isinstance(v, float) else v
+                        for k, v in ph.items()},
+    }
+
+
+def bench_batch_metagenome():
+    """Full profile() through the batch engine on a synthetic >=5 Mbp
+    multi-scaffold workload (the many-scaffold production path)."""
+    import tempfile
+    import bench_batch
+    import instrain_tpu.profile.pipeline as pl
+    from instrain_tpu.profile import compact
+    from instrain_tpu.config import ProfileConfig
+
+    workdir = tempfile.mkdtemp(prefix="bench_meta_")
+    t0 = time.time()
+    fasta, sam, n_pairs = bench_batch.synth(workdir)
+    gen_s = time.time() - t0
+
+    # time decode/filter/pileup inside profile() via wrapped entry points
+    phases = {}
+    orig = {}
+
+    def wrap(name, key):
+        fn = getattr(pl, name)
+        orig[name] = fn
+
+        def timed(*a, **k):
+            t0 = time.perf_counter()
+            r = fn(*a, **k)
+            phases[key] = phases.get(key, 0.0) + (time.perf_counter() - t0)
+            return r
+        setattr(pl, name, timed)
+
+    def run(out):
+        cfg = ProfileConfig(output=out, skip_plot_generation=True,
+                            skip_genome_wide=True)
+        cfg.engine = "batch"
+        return pl.profile(sam, fasta, cfg)
+
+    t0 = time.time()
+    run(os.path.join(workdir, "warm.IS"))
+    warm = time.time() - t0
+
+    wrap("decode_bam", "decode")
+    wrap("filter_reads", "filter")
+    wrap("build_scaffold_pileup_padded", "pileup_build")
+    wrap("build_scaffold_pileup", "pileup_build")
+    try:
+        steadies, all_phases = [], []
+        for i in range(3):
+            phases.clear()
+            compact.TIMINGS = {}
+            t0 = time.time()
+            isdir = run(os.path.join(workdir, f"s{i}.IS"))
+            steadies.append(time.time() - t0)
+            phases.update(compact.TIMINGS)
+            compact.TIMINGS = None
+            all_phases.append(dict(phases))
+    finally:
+        for name, fn in orig.items():
+            setattr(pl, name, fn)
+        compact.TIMINGS = None
+    i_best = int(np.argmin(steadies))
+    steady = steadies[i_best]
+    snvs = isdir.get("cumulative_snv_table")
+    return {
+        "pairs_per_sec": round(n_pairs / steady, 1),
+        "vs_baseline": round(n_pairs / steady / BASELINE_PAIRS_PER_SEC, 2),
+        "scaffolds": bench_batch.S,
+        "positions": bench_batch.S * bench_batch.L,
+        "pairs": n_pairs,
+        "snv_rows": 0 if snvs is None else len(snvs),
+        "gen_s": round(gen_s, 2),
+        "warmup_s": round(warm, 2),
+        "steady_s": round(steady, 2),
+        "steady_all_s": [round(x, 2) for x in steadies],
+        "positions_per_sec": round(bench_batch.S * bench_batch.L / steady,
+                                   1),
+        "breakdown_s": {k: round(v, 4) if isinstance(v, float) else v
+                        for k, v in all_phases[i_best].items()},
+    }
 
 
 def main():
@@ -78,47 +229,19 @@ def main():
     except Exception:
         pass
 
-    from instrain_tpu.profile.pileup import make_luts
-    from instrain_tpu.config import VariantConfig
+    sars = bench_sars()
+    batch = bench_batch_metagenome()
 
-    refseq = load_ref()
-    luts = make_luts(VariantConfig())
-
-    # warmup (compiles kernels; also warms the throttled host's page cache
-    # and CPU governor — early native-decode calls run ~20x slow)
-    t0 = time.time()
-    n_pairs, n_reads, n_snvs, n_ld = run_once(refseq, luts)
-    warm = time.time() - t0
-
-    # steady state: best of several iterations. The TPU is reached over a
-    # shared stdio relay whose device<->host latency varies by minutes run
-    # to run; min over repeats measures the pipeline, not relay weather.
-    steadies = []
-    for _ in range(6):
-        t0 = time.time()
-        run_once(refseq, luts)
-        steadies.append(time.time() - t0)
-    steady = min(steadies)
-
-    pairs_per_sec = n_pairs / steady
-    positions_per_sec = len(refseq) / steady
     result = {
         "metric": "profile_pairs_per_sec",
-        "value": round(pairs_per_sec, 1),
+        "value": sars["pairs_per_sec"],
         "unit": "read pairs/s (end-to-end profile, steady-state)",
-        "vs_baseline": round(pairs_per_sec / BASELINE_PAIRS_PER_SEC, 2),
+        "vs_baseline": sars["vs_baseline"],
         "detail": {
             "bam": os.path.basename(BAM),
-            "filtered_pairs": n_pairs,
-            "records": n_reads,
-            "snv_rows": n_snvs,
-            "linkage_rows": n_ld,
-            "warmup_s": round(warm, 2),
-            "steady_s": round(steady, 2),
-            "steady_all_s": [round(s, 2) for s in steadies],
             "baseline_pairs_per_sec": round(BASELINE_PAIRS_PER_SEC, 1),
-            "positions_per_sec": round(positions_per_sec, 1),
-            "reads_per_sec": round(n_reads / steady, 1),
+            "sars": sars,
+            "batch": batch,
         },
     }
     print(json.dumps(result))

@@ -11,7 +11,10 @@ reads at ~COV coverage, writes a SAM, runs the profile pipeline twice
 (warm + steady) and reports steady-state filtered-pairs/s vs the
 reference's 6-core cost-model baseline (977 pairs/s; see BASELINE.md).
 
-Not run by the driver — manual: `python bench_batch.py [--cpu]`.
+Run by the driver THROUGH bench.py (bench.bench_batch_metagenome imports
+synth + the size constants); standalone manual run:
+`python bench_batch.py [--cpu]`. INSTRAIN_BENCH_S / INSTRAIN_BENCH_L
+override the workload size (CPU smoke tests).
 """
 
 import json
@@ -26,8 +29,8 @@ if "--cpu" in sys.argv:
 
 import numpy as np
 
-S = 64           # scaffolds
-L = 20_000       # bp each
+S = int(os.environ.get("INSTRAIN_BENCH_S", 128))   # scaffolds
+L = int(os.environ.get("INSTRAIN_BENCH_L", 40_000))  # bp each -> 5.12 Mbp
 COV = 30         # target coverage
 READ = 150       # read length
 INSERT = 300     # outer insert size

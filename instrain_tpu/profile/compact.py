@@ -11,6 +11,7 @@ reference implementation (they are cross-checked in tests).
 
 from __future__ import annotations
 
+import time
 from typing import Dict, Optional
 
 import jax
@@ -26,6 +27,18 @@ from .tables import BASES, cumulative_snv_table, estimate_breadth
 
 SNP_CAPACITY = 32768
 POS_CAPACITY = 16384
+
+# Benchmark instrumentation: set to a dict ({} works) to accumulate
+# per-phase wall seconds of the device paths (pack / h2d / compute /
+# fetch). None (production) adds no synchronization.
+TIMINGS: Optional[Dict[str, float]] = None
+
+
+def _t_add(key: str, dt: float):
+    if TIMINGS is not None:
+        TIMINGS[key] = TIMINGS.get(key, 0.0) + dt
+        TIMINGS["launches"] = TIMINGS.get("launches", 0) + (
+            1 if key == "compute" else 0)
 
 
 class CompactStats:
@@ -120,15 +133,26 @@ def _run_compact_u8(counts: np.ndarray, ref_codes: np.ndarray, L: int,
     from ..kernels.sitestats import site_stats_compact_u8
     if counts.dtype != np.int16:
         return None
+    t0 = time.perf_counter()
     packed = pack_counts_u8(counts)
+    _t_add("pack", time.perf_counter() - t0)
     if packed is None:
         return None
     from ..kernels.sitestats import unpack_wire
     u8, cidx, cval = packed
+    if TIMINGS is not None:
+        # explicit, synchronized h2d so the benchmark can separate the
+        # transfer from the compute (production lets dispatch overlap it)
+        t0 = time.perf_counter()
+        u8, cidx, cval, ref_codes, null_lut, freq_lut = [
+            jax.block_until_ready(jax.device_put(x))
+            for x in (u8, cidx, cval, ref_codes, null_lut, freq_lut)]
+        _t_add("h2d", time.perf_counter() - t0)
     caps = _bucket_caps(counts.shape)
     for _ in range(8):
         skey = ("u8", counts.shape, caps["snp"], caps["pos"],
                 with_dense, min_cov, rarefied_coverage)
+        t0 = time.perf_counter()
         res = site_stats_compact_u8(
             u8, cidx, cval, ref_codes, null_lut, freq_lut, key,
             np.int32(L), min_cov=min_cov, min_covR=rarefied_coverage,
@@ -136,11 +160,17 @@ def _run_compact_u8(counts: np.ndarray, ref_codes: np.ndarray, L: int,
             snp_capacity=caps["snp"],
             pos_capacity=caps["pos"], with_dense=with_dense,
             spec_key=skey)
+        if TIMINGS is not None:
+            jax.block_until_ready(res)
+        _t_add("compute", time.perf_counter() - t0)
         # ONE packed fetch for everything except the dense clonR, which
         # stays on device (and is never transferred) when no position
         # reaches rarefied coverage
         dense_dev = res[1] if with_dense else None
-        out = unpack_wire(np.asarray(res[0]), skey)
+        t0 = time.perf_counter()
+        wire = np.asarray(res[0])
+        _t_add("fetch", time.perf_counter() - t0)
+        out = unpack_wire(wire, skey)
         if bool(out["linkage"].pop("cum_overflow")):
             return None
         n_rows = int(out["rows"]["n_rows"])
@@ -157,7 +187,9 @@ def _run_compact_u8(counts: np.ndarray, ref_codes: np.ndarray, L: int,
             if dense_dev is not None:
                 shape = counts.shape[0], counts.shape[2]
                 if out["agg"]["rarefied"].sum() > 0:
+                    t0 = time.perf_counter()
                     clonR = np.asarray(dense_dev["clonR"])
+                    _t_add("fetch", time.perf_counter() - t0)
                 else:
                     clonR = np.broadcast_to(np.float32(np.nan), shape)
                 out["dense"] = dict(clonR=clonR)
@@ -436,31 +468,53 @@ def run_site_stats_compact_batch(pileups, ref_codes_list, null_lut,
             packed = None
             if all16 and counts.size < (1 << 31) and mesh is None:
                 from ..io.bam import pack_counts_u8
+                t0 = time.perf_counter()
                 packed = pack_counts_u8(counts,
                                         corr_capacity=4096 + 64 * S)
+                _t_add("pack", time.perf_counter() - t0)
             if packed is not None:
                 from ..kernels.sitestats import site_stats_compact_batch_u8
                 from ..kernels.sitestats import unpack_wire
                 u8, cidx, cval = packed
+                keys_dev = jnp.stack(keys)
+                if TIMINGS is not None:
+                    t0 = time.perf_counter()
+                    u8, cidx, cval, refs_d, lens_d, null_d, freq_d = [
+                        jax.block_until_ready(jax.device_put(x))
+                        for x in (u8, cidx, cval, refs, lens, null_lut,
+                                  freq_lut)]
+                    _t_add("h2d", time.perf_counter() - t0)
+                else:
+                    refs_d, lens_d = refs, lens
+                    null_d, freq_d = null_lut, freq_lut
                 caps = _bucket_caps(counts.shape[1:])
                 snp_cap = min(caps["snp"], Mp * Lp)
                 pos_cap = min(caps["pos"], Lp)
                 skey = ("u8b", counts.shape, snp_cap, pos_cap,
                         with_dense, min_cov, rarefied_coverage)
+                t0 = time.perf_counter()
                 res = site_stats_compact_batch_u8(
-                    u8, cidx, cval, refs, lens, null_lut, freq_lut,
-                    jnp.stack(keys), min_cov=min_cov,
+                    u8, cidx, cval, refs_d, lens_d, null_d, freq_d,
+                    keys_dev, min_cov=min_cov,
                     min_covR=rarefied_coverage,
                     rarefied_draws=rarefied_coverage,
                     snp_capacity=snp_cap, pos_capacity=pos_cap,
                     with_dense=with_dense, spec_key=skey)
+                if TIMINGS is not None:
+                    jax.block_until_ready(res)
+                _t_add("compute", time.perf_counter() - t0)
                 # ONE packed fetch; the chunk's clonR never crosses the
                 # link when nothing reached rarefied coverage
                 dense_dev = res[1] if with_dense else None
-                out = unpack_wire(np.asarray(res[0]), skey)
+                t0 = time.perf_counter()
+                wire = np.asarray(res[0])
+                _t_add("fetch", time.perf_counter() - t0)
+                out = unpack_wire(wire, skey)
                 if dense_dev is not None:
                     if out["agg"]["rarefied"].sum() > 0:
+                        t0 = time.perf_counter()
                         clonR = np.asarray(dense_dev["clonR"])
+                        _t_add("fetch", time.perf_counter() - t0)
                     else:
                         clonR = np.broadcast_to(np.float32(np.nan),
                                                 (S, Mp, Lp))
