@@ -95,8 +95,14 @@ def capture_read_pairs(stats: ScaffoldStats,
 
 def calculate_linkage(stats: ScaffoldStats, window_starts: np.ndarray,
                       min_snp: int = 20, seed: int = 42,
-                      scaffold: Optional[str] = None) -> pd.DataFrame:
-    """Build the raw_linkage_table for one scaffold."""
+                      scaffold: Optional[str] = None,
+                      engine: str = "auto") -> pd.DataFrame:
+    """Build the raw_linkage_table for one scaffold.
+
+    engine: "host" (numpy), "device" (kernels.linkage.ld_device — combo
+    scatter + LD math on the accelerator), or "auto" (device when a
+    non-CPU backend is up and the pair count is large enough that the
+    host bincount pass outweighs a device launch)."""
     scaffold = scaffold or stats.pileup.name
     pairs = capture_read_pairs(stats, window_starts)
     if len(pairs) == 0:
@@ -109,6 +115,14 @@ def calculate_linkage(stats: ScaffoldStats, window_starts: np.ndarray,
     E = len(uedges)
     p1 = (uedges >> 32).astype(np.int64)
     p2 = (uedges & 0xFFFFFFFF).astype(np.int64)
+
+    if engine == "auto":
+        import jax
+        engine = ("device" if jax.default_backend() != "cpu" and
+                  len(pairs) >= 100_000 else "host")
+    if engine == "device":
+        return _calculate_linkage_device(stats, pairs, e_idx, E, M, p1, p2,
+                                         min_snp, seed, scaffold)
 
     combo = pairs[:, 2] * 4 + pairs[:, 3]
     flat = (e_idx * M + pairs[:, 4]) * 16 + combo
@@ -183,6 +197,75 @@ def calculate_linkage(stats: ScaffoldStats, window_starts: np.ndarray,
         "distance": np.abs(p1[ei] - p2[ei]),
         "position_A": p1[ei], "position_B": p2[ei],
         "mm": stats.mm_values[mi].astype(np.int64),
+        "scaffold": scaffold,
+    })
+    return df.sort_values(["position_A", "position_B", "mm"]).reset_index(
+        drop=True)
+
+
+def _calculate_linkage_device(stats, pairs, e_idx, E, M, p1, p2, min_snp,
+                              seed, scaffold) -> pd.DataFrame:
+    """Device LD: combo scatter-add + allele/gate/r2/D' math on the
+    accelerator (kernels.linkage.ld_device); the host only enumerates
+    pairs and assembles the final DataFrame. Deterministic columns are
+    identical to the host path (tests/test_linkage_device.py); the
+    rarefied columns use the counter-based device PRNG instead of the
+    host generator."""
+    import jax
+
+    from ..kernels.linkage import ld_device
+
+    c1, pr1 = _gather_pos_stats(stats, p1)            # [E, M, 4], [E, M]
+    c2, pr2 = _gather_pos_stats(stats, p2)
+
+    # bucket every static dimension (pairs / edges / mm levels) so
+    # same-bucket scaffolds share one compiled kernel; padded edges carry
+    # no combos and gate out via has_combo_exact
+    n = len(pairs)
+    cap = 1024
+    while cap < n:
+        cap <<= 1
+    Ep = 256
+    while Ep < E:
+        Ep <<= 1
+    Mp = -(-M // 8) * 8
+    ei = np.full(cap, -1, np.int32)
+    mi = np.zeros(cap, np.int32)
+    cb = np.zeros(cap, np.int32)
+    ei[:n] = e_idx
+    mi[:n] = pairs[:, 4]
+    cb[:n] = pairs[:, 2] * 4 + pairs[:, 3]
+
+    def padEM(a, fill=0):
+        out = np.full((Ep, Mp) + a.shape[2:], fill, a.dtype)
+        out[:E, :M] = a
+        return out
+
+    key = jax.random.fold_in(jax.random.PRNGKey(seed), stats.pileup.rid)
+    out = jax.device_get(ld_device(
+        ei, mi, cb, np.int64(n),
+        padEM(c1.astype(np.int32)), padEM(c2.astype(np.int32)),
+        padEM(pr1), padEM(pr2), key, E=Ep, M=Mp, min_snp=int(min_snp)))
+
+    valid = out["valid"][:E, :M]
+    if not valid.any():
+        return pd.DataFrame()
+    ri, mj = np.nonzero(valid)
+    base_arr = np.array(list(BASES))
+    df = pd.DataFrame({
+        "r2": out["r2"][ri, mj], "d_prime": out["d_prime"][ri, mj],
+        "r2_normalized": out["r2_normalized"][ri, mj],
+        "d_prime_normalized": out["d_prime_normalized"][ri, mj],
+        "total": out["total"][ri, mj],
+        "countAB": out["AB"][ri, mj], "countAb": out["Ab"][ri, mj],
+        "countaB": out["aB"][ri, mj], "countab": out["ab"][ri, mj],
+        "allele_A": base_arr[out["A"][ri, mj]],
+        "allele_a": base_arr[out["a"][ri, mj]],
+        "allele_B": base_arr[out["B"][ri, mj]],
+        "allele_b": base_arr[out["b"][ri, mj]],
+        "distance": np.abs(p1[ri] - p2[ri]),
+        "position_A": p1[ri], "position_B": p2[ri],
+        "mm": stats.mm_values[mj].astype(np.int64),
         "scaffold": scaffold,
     })
     return df.sort_values(["position_A", "position_B", "mm"]).reset_index(
