@@ -86,10 +86,11 @@ def build_parser() -> argparse.ArgumentParser:
     g.add_argument("--skip_genome_wide", action="store_true")
     g.add_argument("--skip_plot_generation", action="store_true")
     g.add_argument("--engine", default="auto",
-                   choices=["auto", "dense", "hybrid", "batch"],
+                   choices=["auto", "dense", "hybrid", "batch", "pallas"],
                    help="kernel path: dense (host arrays, chunked), "
                         "hybrid (device-side compaction), batch (vmapped "
-                        "same-bucket scaffolds); auto picks by backend")
+                        "same-bucket scaffolds), pallas (Pallas TPU core "
+                        "+ dense tables); auto picks by backend")
     g.add_argument("--mesh_devices", default=0, type=int,
                    help="shard the profile kernels over the first N "
                         "devices of a 1-D mesh (position axis per "

@@ -74,7 +74,7 @@ class ProfileConfig:
 
     # TPU execution parameters (no reference equivalent; replaces the
     # reference's process-pool cost model, profile_controller.py:397-465)
-    engine: str = "auto"               # auto|dense|hybrid|batch kernel path
+    engine: str = "auto"               # auto|dense|hybrid|batch|pallas kernel path
     max_mm_buckets: int = 33           # dense mm-axis width before bucketing
     position_tile: int = 16384         # positions per device tile (pad unit)
     seed: int = 42                     # PRNG key for rarefied metrics

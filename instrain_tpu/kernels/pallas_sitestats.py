@@ -26,7 +26,8 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .sitestats import (AMBIG, CON_SNV, DIVERGENT, POP_SNV, SNS, SNV)
+from .sitestats import (AMBIG, CALL_NOSNP, CALL_UNCOUNTED, CON_SNV,
+                        DIVERGENT, POP_SNV, SNS, SNV)
 
 
 def _kernel(counts_ref, ref_ref, minb_ref, freqm_ref, out_refs, *, M,
@@ -109,9 +110,109 @@ def _kernel(counts_ref, ref_ref, minb_ref, freqm_ref, out_refs, *, M,
     out_refs["cls"][...] = cls
 
 
-@functools.partial(jax.jit, static_argnames=("min_cov", "tile"))
+@functools.partial(
+    jax.jit,
+    static_argnames=("min_cov", "min_covR", "rarefied_draws", "tile",
+                     "interpret"))
+def site_stats_pallas_full(counts, ref_codes, null_lut, freq_lut, rng_key,
+                           min_cov: int = 5, min_covR: int = 50,
+                           rarefied_draws: int = 50, tile: int = 2048,
+                           interpret: bool = False):
+    """
+    Drop-in replacement for sitestats.site_stats with the per-cell core
+    (cumulative thresholds, morphia, consensus/variant, classes,
+    clonality, row mask) computed by the Pallas kernel and the remaining
+    outputs (cum profiles, rarefied clonality, cryptic scan, linkage
+    masks) in XLA around it. Selected via `--engine pallas`
+    (profile/pipeline.py); parity vs site_stats is asserted in
+    tests/test_pallas.py (interpret mode on CPU, compiled on TPU).
+    """
+    M, B, L = counts.shape
+    counts = counts.astype(jnp.int32)
+    Lp = -(-L // tile) * tile
+    if Lp != L:
+        counts = jnp.pad(counts, ((0, 0), (0, 0), (0, Lp - L)))
+        ref_codes = jnp.pad(ref_codes, (0, Lp - L),
+                            constant_values=4)
+    core = pallas_site_stats(counts, ref_codes, null_lut, freq_lut,
+                             min_cov=min_cov, tile=tile,
+                             interpret=interpret)
+    core = {k: v[:, :L] if v.ndim == 2 else v for k, v in core.items()}
+    counts = counts[:, :, :L]
+    ref_codes = ref_codes[:L]
+
+    exact_total = counts.sum(axis=1)
+    present = exact_total > 0
+    cum = jnp.cumsum(counts, axis=0)                     # [M, 4, L]
+    total = core["total"].astype(jnp.int32)
+    morphia = core["morphia"].astype(jnp.int8)
+    con = core["con"].astype(jnp.int8)
+    var = core["var"].astype(jnp.int8)
+    cls = core["cls"].astype(jnp.int8)
+    clon_val = core["clon"]
+    row = core["row"] & present
+    counted = total >= min_cov
+    ref_b = ref_codes.astype(jnp.int32)
+    con_is_ref = con.astype(jnp.int32) == ref_b[None, :]
+    is_base_call = ((morphia > 1) | ((morphia == 1) & ~con_is_ref) |
+                    (morphia == 0))
+    call = jnp.where(is_base_call, con.astype(jnp.int8),
+                     jnp.int8(CALL_NOSNP))
+    call = jnp.where(counted, call, jnp.int8(CALL_UNCOUNTED))
+    clon = jnp.where(present & counted, clon_val.astype(jnp.float32),
+                     jnp.nan)
+
+    ref_sel = jax.nn.one_hot(jnp.clip(ref_b, 0, 3), 4, axis=0,
+                             dtype=cum.dtype)
+    ref_count = (cum * ref_sel[None, :, :]).sum(axis=1)
+
+    # rarefied clonality: identical draw scheme (and key) to site_stats
+    with jax.numpy_dtype_promotion("standard"):
+        p = cum.astype(jnp.float32) / jnp.maximum(
+            total.astype(jnp.float32), 1.0)[:, None, :]
+    clonR_set = present & (total >= min_covR)
+    cdf = jnp.cumsum(p, axis=1)
+
+    def draw(carry, key):
+        u = jax.random.uniform(key, (M, 1, L), dtype=jnp.float32)
+        cat = (u > cdf[:, :3, :]).sum(axis=1)
+        onehot = (cat[:, None, :] ==
+                  jnp.arange(4, dtype=cat.dtype)[None, :, None])
+        return carry + onehot.astype(jnp.float32), None
+
+    keys = jax.random.split(rng_key, rarefied_draws)
+    rcounts, _ = jax.lax.scan(draw, jnp.zeros((M, 4, L), jnp.float32),
+                              keys)
+    rp = rcounts / float(rarefied_draws)
+    clonR = jnp.where(clonR_set, (rp * rp).sum(axis=1), jnp.nan)
+
+    emits_snp = row & (morphia >= 2)
+    any_snp_incl = jnp.cumsum(emits_snp.astype(jnp.int32), axis=0) > 0
+    any_snp_before = jnp.concatenate(
+        [jnp.zeros((1, L), dtype=bool), any_snp_incl[:-1]], axis=0)
+    cryptic_here = present & counted & any_snp_before & (
+        (call == CALL_NOSNP) | (morphia == 1))
+    cryptic = cryptic_here.any(axis=0)
+    any_snp = any_snp_incl[-1]
+    con_oh = jax.nn.one_hot(con, 4, axis=1, dtype=jnp.int32)
+    var_oh = jax.nn.one_hot(var, 4, axis=1, dtype=jnp.int32)
+    bases_mask = (((con_oh | var_oh) *
+                   emits_snp[:, None, :]).sum(axis=0) > 0)
+
+    return dict(
+        present=present, cum=cum, total=total, morphia=morphia,
+        con=con, var=var, call=call, row=row, cls=cls,
+        clon=clon, clonR=clonR, clonR_set=clonR_set,
+        cryptic=cryptic, any_snp=any_snp, bases_mask=bases_mask,
+        ref_count=ref_count,
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("min_cov", "tile",
+                                             "interpret"))
 def pallas_site_stats(counts, ref_codes, null_lut, freq_lut,
-                      min_cov: int = 5, tile: int = 2048):
+                      min_cov: int = 5, tile: int = 2048,
+                      interpret: bool = False):
     """
     counts [M, 4, L] int32 (L a multiple of `tile`), ref_codes [L] uint8.
     Returns dict of [M, L] outputs (see module docstring).
@@ -163,5 +264,6 @@ def pallas_site_stats(counts, ref_codes, null_lut, freq_lut,
             ],
             out_specs={k: ml_spec for k in out_shapes},
             out_shape=out_shapes,
+            interpret=interpret,
         )(counts, ref_codes, min_bases, freq_min)
     return outs

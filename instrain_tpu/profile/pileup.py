@@ -164,7 +164,8 @@ def run_site_stats(pileup: ScaffoldPileup, ref_codes: np.ndarray,
                    null_lut: np.ndarray, freq_lut: np.ndarray,
                    min_cov: int = 5, rarefied_coverage: int = 50,
                    seed: int = 42, pad_shapes: bool = True,
-                   max_chunk: int = 1 << 20) -> ScaffoldStats:
+                   max_chunk: int = 1 << 20,
+                   kernel: str = "xla") -> ScaffoldStats:
     """
     Run the site-stats kernel for one scaffold.
 
@@ -195,7 +196,7 @@ def run_site_stats(pileup: ScaffoldPileup, ref_codes: np.ndarray,
                 freq_lut, min_cov=min_cov,
                 rarefied_coverage=rarefied_coverage,
                 seed=seed + 7919 * (c0 // max_chunk),
-                pad_shapes=pad_shapes, max_chunk=L))
+                pad_shapes=pad_shapes, max_chunk=L, kernel=kernel))
         arrays = {k: np.concatenate([p.arrays[k] for p in parts], axis=-1)
                   for k in parts[0].arrays}
         return ScaffoldStats(pileup=pileup, arrays=arrays)
@@ -208,9 +209,19 @@ def run_site_stats(pileup: ScaffoldPileup, ref_codes: np.ndarray,
             rp[:L] = ref_codes
             counts, ref_codes = cp, rp
     key = jax.random.fold_in(jax.random.PRNGKey(seed), pileup.rid)
-    out = site_stats(counts, ref_codes, null_lut, freq_lut, key,
-                     min_cov=min_cov, min_covR=rarefied_coverage,
-                     rarefied_draws=rarefied_coverage)
+    if kernel == "pallas":
+        # Pallas core + XLA remainder; interpret mode on CPU backends
+        # (Mosaic compiles for TPU only)
+        from ..kernels.pallas_sitestats import site_stats_pallas_full
+        out = site_stats_pallas_full(
+            counts, ref_codes, null_lut, freq_lut, key,
+            min_cov=min_cov, min_covR=rarefied_coverage,
+            rarefied_draws=rarefied_coverage,
+            interpret=jax.default_backend() == "cpu")
+    else:
+        out = site_stats(counts, ref_codes, null_lut, freq_lut, key,
+                         min_cov=min_cov, min_covR=rarefied_coverage,
+                         rarefied_draws=rarefied_coverage)
     arrays = {}
     for k, v in out.items():
         v = np.asarray(v)

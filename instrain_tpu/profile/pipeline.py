@@ -286,7 +286,9 @@ def _profile_one_scaffold_inner(bam, pairs, registry, name, cfg, null_lut,
         stats = run_site_stats(pileup, ref_codes, null_lut, freq_lut,
                                min_cov=cfg.variant.min_cov,
                                rarefied_coverage=cfg.rarefied_coverage,
-                               seed=cfg.seed)
+                               seed=cfg.seed,
+                               kernel="pallas" if engine == "pallas"
+                               else "xla")
     return _result_from_stats(name, L, stats, ref_codes, cfg, gene_data)
 
 
