@@ -89,8 +89,11 @@ def run_pooling(SCs, name2bam: Dict[str, str], null_lut, freq_lut
 def extract_snvs_from_bam(bam_loc: str, rdic, scaff2locs
                           ) -> Dict[str, Dict[int, np.ndarray]]:
     """Counts of filtered-pair bases at requested positions
-    (reference: extract_SNVS_from_bam, polymorpher.py:275-310)."""
-    bam = decode_bam(bam_loc, baq=False)
+    (reference: extract_SNVS_from_bam, polymorpher.py:275-310 — a single
+    indexed pass over the needed span per sample). With a .bai present,
+    only the requested scaffolds' BGZF blocks are inflated/parsed
+    (io.bam decode ranged path); full decode otherwise."""
+    bam = decode_bam(bam_loc, baq=False, scaffolds=sorted(scaff2locs))
     name_to_rid = bam.name_to_ref_id
     qname_to_id = {n: i for i, n in enumerate(bam.qnames)}
     out: Dict[str, Dict[int, np.ndarray]] = {}

@@ -40,6 +40,8 @@ def _load_lib():
     lib.bd_open.argtypes = [ct.c_char_p, ct.c_int]
     lib.bd_open_sam.restype = ct.c_void_p
     lib.bd_open_sam.argtypes = [ct.c_char_p]
+    lib.bd_open_ranged.restype = ct.c_void_p
+    lib.bd_open_ranged.argtypes = [ct.c_char_p, ct.c_int, ct.c_char_p]
     lib.bd_error.restype = ct.c_char_p
     lib.bd_free.argtypes = [ct.c_void_p]
     lib.bd_ref_name.restype = ct.c_char_p
@@ -199,6 +201,8 @@ class BamArrays:
     # decode itself; most paths only need counts/ids)
     _qnames: Optional[List[str]] = None
     n_qnames: int = 0
+    # True when this decode came from the .bai-guided ranged path
+    ranged: bool = False
     # native handle owner (kept open for native pileup/count building;
     # the decoded arrays are zero-copy views into it)
     _handle_obj: Optional[_NativeHandle] = None
@@ -308,18 +312,39 @@ def decode_bam(path: str, ref_seqs: Optional[Dict[str, np.ndarray]] = None,
                tweak_overlaps: bool = True,
                tweak_orphans: bool = False,
                tweak_legacy_walk: bool = True,
-               load_qnames: bool = True) -> BamArrays:
+               load_qnames: bool = True,
+               scaffolds: Optional[List[str]] = None) -> BamArrays:
     """
     Decode a BAM file.
 
     ref_seqs: {ref_name: uint8 ASCII array} — required for BAQ (uppercased
     reference sequences, e.g. from io.fasta.read_fasta).
+    scaffolds: decode ONLY these scaffolds via the .bai-guided ranged
+    path (native bd_open_ranged); falls back to a full decode when no
+    index exists. The result's `ranged` flag records which path ran.
     """
     lib = _load_lib()
+    ranged = False
+    h = None
     if _is_sam(path):
         h = lib.bd_open_sam(path.encode())
     else:
-        h = lib.bd_open(path.encode(), threads)
+        if scaffolds is not None:
+            bais = [path + ".bai"]
+            if path.endswith(".bam"):
+                bais.append(path[:-4] + ".bai")
+            if any(os.path.exists(b) for b in bais):
+                h = lib.bd_open_ranged(path.encode(), threads,
+                                       "\n".join(scaffolds).encode())
+                if h:
+                    ranged = True
+                else:
+                    import logging
+                    logging.debug(
+                        f"ranged decode failed "
+                        f"({lib.bd_error().decode()}); full decode")
+        if h is None or not h:
+            h = lib.bd_open(path.encode(), threads)
     if not h:
         raise IOError(f"BAM decode failed: {lib.bd_error().decode()}")
     try:
@@ -370,6 +395,7 @@ def decode_bam(path: str, ref_seqs: Optional[Dict[str, np.ndarray]] = None,
             ev_qual=_arr(lib.bd_ev_qual(hp), ne, np.uint8, ho),
         )
         out.n_qnames = int(lib.bd_n_qnames(hp))
+        out.ranged = ranged
         out._handle_obj = ho
         return out
     finally:

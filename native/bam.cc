@@ -189,6 +189,8 @@ struct BamData {
     std::vector<int64_t> ref_rec_begin, ref_rec_end;
 };
 
+static void sort_records(BamData* h);
+
 /*
  * Re-derive each event's query-base index by walking the record's cigar
  * (events are emitted in cigar order, so qpos is reconstructable and is
@@ -509,6 +511,29 @@ extern "C" BamData* bd_open(const char* path, int threads) {
         h->ref_rec_end[refID] = r + 1;
     }
     lap("qnames");
+    // Detect non-coordinate-sorted input (pos decreasing within a ref, or
+    // a ref's records interleaved with another's) and sort the record
+    // table natively — the reference auto-sorts any unsorted input via
+    // samtools (samtools_ops.py:13-67); every downstream pass here
+    // assumes per-ref contiguous, position-ascending records.
+    {
+        bool sorted = true;
+        // position must ascend within same-ref runs...
+        for (int64_t r = 1; r < NR && sorted; ++r)
+            if (h->ref_id[r] == h->ref_id[r - 1] &&
+                h->pos[r] < h->pos[r - 1])
+                sorted = false;
+        // ...and each ref's [begin, end) span must be pure (interleaved
+        // refs leave foreign records inside another ref's span)
+        for (size_t ref = 0; ref < h->ref_names.size() && sorted; ++ref) {
+            int64_t beg = h->ref_rec_begin[ref], end = h->ref_rec_end[ref];
+            if (beg < 0) continue;
+            for (int64_t r = beg; r < end && sorted; ++r)
+                if (h->ref_id[r] != (int32_t)ref) sorted = false;
+        }
+        if (!sorted) sort_records(h);
+    }
+    lap("sortcheck");
     return h;
 }
 
@@ -1050,7 +1075,7 @@ int cigar_char2op(char c) {
 
 }  // namespace
 
-static void sam_sort_records(BamData* h) {
+static void sort_records(BamData* h) {
     /* SAM input may be unsorted; coordinate-sort the record table (the
      * reference runs samtools sort first, samtools_ops.py:70-164). Event
      * and cigar buffers stay in place — only record-level vectors and the
@@ -1309,6 +1334,305 @@ extern "C" BamData* bd_open_sam(const char* path) {
         h->ref_rec_begin.assign(h->ref_names.size(), -1);
         h->ref_rec_end.assign(h->ref_names.size(), -1);
     }
-    sam_sort_records(h);
+    sort_records(h);
+    return h;
+}
+
+/*
+ * ---- .bai-guided ranged decode ----
+ *
+ * Decodes ONLY the records of a requested scaffold set, using the BAM
+ * index's per-ref chunk extents to bound which BGZF blocks are inflated
+ * (reference analogue: pysam's indexed fetch that polymorpher.py:275-310
+ * relies on for its one-pass-per-span SNV pooling extraction). The rest
+ * of the file is read but never inflated or parsed.
+ */
+
+namespace {
+
+struct RefVRange { uint64_t vbeg = UINT64_MAX, vend = 0; };
+
+bool parse_bai(const char* path, size_t n_ref,
+               std::vector<RefVRange>& out) {
+    rvec<uint8_t> b;
+    if (!read_file(path, b)) return false;
+    if (b.size() < 8 || memcmp(b.data(), "BAI\1", 4) != 0) {
+        g_err = "bad .bai magic";
+        return false;
+    }
+    size_t p = 4;
+    int32_t nr; memcpy(&nr, &b[p], 4); p += 4;
+    if ((size_t)nr != n_ref) { g_err = ".bai n_ref mismatch"; return false; }
+    out.assign(n_ref, RefVRange{});
+    for (int32_t r = 0; r < nr; ++r) {
+        if (p + 4 > b.size()) { g_err = ".bai truncated"; return false; }
+        int32_t n_bin; memcpy(&n_bin, &b[p], 4); p += 4;
+        for (int32_t i = 0; i < n_bin; ++i) {
+            uint32_t bin; memcpy(&bin, &b[p], 4); p += 4;
+            int32_t n_chunk; memcpy(&n_chunk, &b[p], 4); p += 4;
+            for (int32_t c = 0; c < n_chunk; ++c) {
+                uint64_t beg, end;
+                memcpy(&beg, &b[p], 8); p += 8;
+                memcpy(&end, &b[p], 8); p += 8;
+                if (bin == 37450) continue;  // pseudo-bin: counts, not offsets
+                if (beg < out[r].vbeg) out[r].vbeg = beg;
+                if (end > out[r].vend) out[r].vend = end;
+            }
+        }
+        int32_t n_intv; memcpy(&n_intv, &b[p], 4); p += 4;
+        p += (size_t)n_intv * 8;
+    }
+    return true;
+}
+
+// inflate blocks [b0, b1) into a contiguous buffer
+bool inflate_span(const rvec<uint8_t>& raw, const std::vector<Block>& blocks,
+                  size_t b0, size_t b1, rvec<uint8_t>& out, int threads) {
+    std::vector<Block> span(blocks.begin() + b0, blocks.begin() + b1);
+    size_t base = span.empty() ? 0 : span[0].out_off;
+    for (auto& s : span) s.out_off -= base;
+    return bgzf_inflate(raw, span, out, threads);
+}
+
+}  // namespace
+
+extern "C" BamData* bd_open_ranged(const char* path, int threads,
+                                   const char* want_names) {
+    rvec<uint8_t> raw;
+    if (!read_file(path, raw)) return nullptr;
+    if (!(raw.size() >= 4 && raw[0] == 0x1f && raw[1] == 0x8b)) {
+        g_err = "ranged decode requires a BGZF BAM";
+        return nullptr;
+    }
+    std::vector<Block> blocks;
+    if (!bgzf_scan(raw, blocks)) return nullptr;
+
+    // inflate leading blocks until the full header (magic, text, refs) is
+    // available; headers are typically one or two blocks
+    auto h = new BamData();
+    rvec<uint8_t> head;
+    size_t hb = 0;
+    size_t header_end = 0;
+    {
+        bool done = false;
+        while (!done) {
+            if (hb >= blocks.size()) { g_err = "header truncated";
+                                       delete h; return nullptr; }
+            ++hb;
+            if (!inflate_span(raw, blocks, 0, hb, head, threads)) {
+                delete h; return nullptr;
+            }
+            if (head.size() < 12) continue;
+            if (memcmp(head.data(), "BAM\1", 4) != 0) {
+                g_err = "not a BAM file"; delete h; return nullptr;
+            }
+            size_t p = 4;
+            int32_t l_text; memcpy(&l_text, &head[p], 4);
+            p += 4 + (size_t)l_text;
+            if (p + 4 > head.size()) continue;
+            int32_t n_ref; memcpy(&n_ref, &head[p], 4); p += 4;
+            h->ref_names.clear(); h->ref_lens.clear();
+            bool ok = true;
+            for (int i = 0; i < n_ref; ++i) {
+                if (p + 4 > head.size()) { ok = false; break; }
+                int32_t l_name; memcpy(&l_name, &head[p], 4); p += 4;
+                if (p + l_name + 4 > head.size()) { ok = false; break; }
+                h->ref_names.emplace_back((const char*)&head[p],
+                                          l_name - 1);
+                p += l_name;
+                int32_t l_ref; memcpy(&l_ref, &head[p], 4); p += 4;
+                h->ref_lens.push_back(l_ref);
+            }
+            if (!ok) continue;
+            header_end = p;
+            done = true;
+        }
+    }
+    size_t n_ref = h->ref_names.size();
+    h->ref_rec_begin.assign(n_ref, -1);
+    h->ref_rec_end.assign(n_ref, -1);
+
+    // index: <path>.bai or <path minus .bam>.bai
+    std::vector<RefVRange> vr;
+    {
+        std::string bai = std::string(path) + ".bai";
+        FILE* f = fopen(bai.c_str(), "rb");
+        if (!f) {
+            std::string base(path);
+            if (base.size() > 4 &&
+                base.compare(base.size() - 4, 4, ".bam") == 0)
+                bai = base.substr(0, base.size() - 4) + ".bai";
+            f = fopen(bai.c_str(), "rb");
+        }
+        if (f) fclose(f);
+        else { g_err = "no .bai index"; delete h; return nullptr; }
+        if (!parse_bai(bai.c_str(), n_ref, vr)) { delete h; return nullptr; }
+    }
+
+    // wanted ref ids from the '\n'-joined name list
+    std::unordered_map<std::string, int32_t> name2id;
+    for (size_t i = 0; i < n_ref; ++i)
+        name2id.emplace(h->ref_names[i], (int32_t)i);
+    std::vector<char> want(n_ref, 0);
+    {
+        const char* s = want_names;
+        while (s && *s) {
+            const char* e = strchr(s, '\n');
+            std::string nm = e ? std::string(s, e - s) : std::string(s);
+            auto it = name2id.find(nm);
+            if (it != name2id.end()) want[it->second] = 1;
+            s = e ? e + 1 : nullptr;
+        }
+    }
+
+    // merge wanted refs' virtual ranges into block windows
+    std::vector<std::pair<uint64_t, uint64_t>> vspans;
+    for (size_t r = 0; r < n_ref; ++r)
+        if (want[r] && vr[r].vbeg != UINT64_MAX)
+            vspans.emplace_back(vr[r].vbeg, vr[r].vend);
+    std::sort(vspans.begin(), vspans.end());
+    std::vector<std::pair<uint64_t, uint64_t>> merged;
+    for (auto& s : vspans) {
+        if (!merged.empty() && (s.first >> 16) <=
+                (merged.back().second >> 16))
+            merged.back().second = std::max(merged.back().second, s.second);
+        else
+            merged.push_back(s);
+    }
+
+    // per-block compressed start offsets for voffset -> block lookup.
+    // Block.in_off points at the cdata (after the 12+xlen gzip header);
+    // block i starts where block i-1 ended (cdata + crc(4) + isize(4)).
+    std::vector<size_t> c_offs(blocks.size());
+    {
+        size_t p0 = 0;
+        for (size_t i = 0; i < blocks.size(); ++i) {
+            c_offs[i] = p0;
+            p0 = blocks[i].in_off + blocks[i].in_len + 8;
+        }
+    }
+
+    // parse records from each merged window
+    std::string qn;
+    std::unordered_map<std::string, int64_t> qmap;
+    for (auto& w : merged) {
+        size_t cbeg = (size_t)(w.first >> 16);
+        size_t ubeg = (size_t)(w.first & 0xffff);
+        size_t cend = (size_t)(w.second >> 16);
+        // [b0, b1): from the block containing cbeg through the block
+        // containing cend inclusive
+        size_t b0 = (size_t)(std::upper_bound(c_offs.begin(), c_offs.end(),
+                                              cbeg) - c_offs.begin()) - 1;
+        size_t b1 = (size_t)(std::upper_bound(c_offs.begin(), c_offs.end(),
+                                              cend) - c_offs.begin());
+        rvec<uint8_t> data;
+        if (!inflate_span(raw, blocks, b0, b1, data, threads)) {
+            delete h; return nullptr;
+        }
+        size_t p = ubeg;
+        if (b0 == 0 && header_end > ubeg) p = header_end;
+        while (p + 4 <= data.size()) {
+            int32_t bs; memcpy(&bs, &data[p], 4);
+            if (bs <= 0 || p + 4 + (size_t)bs > data.size()) break;
+            const uint8_t* rec = &data[p + 4];
+            p += 4 + (size_t)bs;
+            int32_t refID, rpos, l_seq;
+            memcpy(&refID, rec + 0, 4);
+            memcpy(&rpos, rec + 4, 4);
+            uint8_t l_rn = rec[8], mq = rec[9];
+            uint16_t n_cig, fl;
+            memcpy(&n_cig, rec + 12, 2);
+            memcpy(&fl, rec + 14, 2);
+            memcpy(&l_seq, rec + 16, 4);
+            if (refID < 0 || (fl & 0x4)) continue;
+            if (refID >= (int32_t)n_ref || !want[refID]) continue;
+            int32_t mref, mpos, tl;
+            memcpy(&mref, rec + 20, 4);
+            memcpy(&mpos, rec + 24, 4);
+            memcpy(&tl, rec + 28, 4);
+            const char* qname = (const char*)(rec + 32);
+            const uint32_t* cig = (const uint32_t*)(rec + 32 + l_rn);
+            const uint8_t* seq = rec + 32 + l_rn + 4 * (size_t)n_cig;
+            const uint8_t* qual = seq + (l_seq + 1) / 2;
+            const uint8_t* tags = qual + l_seq;
+            const uint8_t* rec_end = rec + bs;
+
+            int64_t ev0 = (int64_t)h->ev_pos.size();
+            int64_t x = rpos, y = 0;
+            int32_t qlen = 0, rstart = -1, rend = -1;
+            for (int k = 0; k < n_cig; ++k) {
+                int op = cg_op(cig[k]);
+                int64_t l = cg_len(cig[k]);
+                if (op == CMATCH || op == CEQUAL || op == CDIFF) {
+                    for (int64_t j = 0; j < l; ++j) {
+                        int64_t qi = y + j;
+                        uint8_t nib = (qi & 1) ? (seq[qi >> 1] & 0xf)
+                                               : (seq[qi >> 1] >> 4);
+                        h->ev_pos.push_back((int32_t)(x + j));
+                        h->ev_base.push_back(NIB2CODE[nib]);
+                        h->ev_qual.push_back(
+                            qual[qi] == 0xff ? 0 : qual[qi]);
+                    }
+                    if (rstart < 0) rstart = (int32_t)x;
+                    rend = (int32_t)(x + l - 1);
+                    x += l; y += l; qlen += l;
+                } else if (op == CINS || op == CSOFT) {
+                    y += l; qlen += l;
+                } else if (op == CDEL || op == CREF_SKIP) {
+                    x += l;
+                }
+            }
+            if (rstart < 0) {
+                h->ev_pos.resize(ev0); h->ev_base.resize(ev0);
+                h->ev_qual.resize(ev0);
+                continue;
+            }
+            qn.assign(qname, l_rn > 0 ? (size_t)(l_rn - 1) : 0);
+            auto qit = qmap.find(qn);
+            int64_t qid;
+            if (qit == qmap.end()) {
+                qid = (int64_t)qmap.size();
+                qmap.emplace(qn, qid);
+                h->qname_off.push_back((int64_t)h->qname_blob.size());
+                h->qname_blob += qn;
+                h->qname_blob += '\0';
+            } else {
+                qid = qit->second;
+            }
+            h->ref_id.push_back(refID);
+            h->pos.push_back(rpos);
+            h->flag.push_back(fl);
+            h->mapq.push_back(mq);
+            h->nm.push_back(parse_nm_tag(tags, rec_end));
+            h->qname_id.push_back(qid);
+            h->qlen_infer.push_back(qlen);
+            h->ref_start.push_back(rstart);
+            h->ref_end.push_back(rend);
+            h->tlen.push_back(tl);
+            h->mate_pos.push_back(mpos);
+            h->mate_ref.push_back(mref);
+            h->ev_off.push_back(ev0);
+            h->ev_len.push_back((int32_t)(h->ev_pos.size() - ev0));
+            bool orphan = (fl & 0x1) && !(fl & 0x2);
+            h->pileup_ok.push_back(orphan ? 0 : 1);
+            h->cig_off.push_back((int64_t)h->cig_buf.size());
+            h->cig_n.push_back((int32_t)n_cig);
+            for (int k = 0; k < n_cig; ++k) h->cig_buf.push_back(cig[k]);
+            h->seq_off.push_back((int64_t)h->seq_buf.size());
+            h->seq_len.push_back(l_seq);
+            for (int64_t qi = 0; qi < l_seq; ++qi) {
+                uint8_t nib = (qi & 1) ? (seq[qi >> 1] & 0xf)
+                                       : (seq[qi >> 1] >> 4);
+                h->seq_buf.push_back(NIB2CODE[nib]);
+                h->qual_buf.push_back(qual[qi] == 0xff ? 0 : qual[qi]);
+            }
+        }
+    }
+    for (int64_t r = 0; r < (int64_t)h->ref_id.size(); ++r) {
+        int32_t rid = h->ref_id[r];
+        if (h->ref_rec_begin[rid] < 0) h->ref_rec_begin[rid] = r;
+        h->ref_rec_end[rid] = r + 1;
+    }
+    sort_records(h);
     return h;
 }

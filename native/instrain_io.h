@@ -119,6 +119,10 @@ void bd_clon_cum16(const int16_t* counts, int32_t n_mm, int64_t Lp,
 extern "C" {
 #endif
 BamData* bd_open_sam(const char* path);
+/* .bai-guided ranged decode: only the records of the '\n'-joined scaffold
+ * name list are inflated/parsed (requires <path>.bai or sibling .bai). */
+BamData* bd_open_ranged(const char* path, int threads,
+                        const char* want_names);
 #ifdef __cplusplus
 }
 #endif
