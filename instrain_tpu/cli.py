@@ -207,6 +207,7 @@ def profile_config_from_args(args) -> ProfileConfig:
         detailed_mapping_info=args.detailed_mapping_info)
     cfg.engine = getattr(args, "engine", "auto")
     cfg.mesh_devices = getattr(args, "mesh_devices", 0)
+    cfg.debug = getattr(args, "debug", False)
     cfg.filter.min_read_ani = args.min_read_ani
     cfg.filter.min_mapq = args.min_mapq
     cfg.filter.max_insert_relative = args.max_insert_relative

@@ -99,10 +99,120 @@ def load_log(logloc: str) -> pd.DataFrame:
     return pd.DataFrame(table)
 
 
+# failure-class explanations (reference: _gen_failures_report,
+# logUtils.py:707-767)
+_FAILURE_TEXT = {
+    "FilterReads": "The following scaffolds were not in the bam file:",
+    "SplitException": "The following scaffolds failed during profiling:",
+    "MergeError": ("The following scaffolds could not be profiled due to "
+                   "merging errors:"),
+    "GeneException": ("Genes on the following scaffolds could not be "
+                      "profiled due to errors during profiling:"),
+    "StbError": ("The following scaffolds were in the .stb file given, "
+                 "but not the original .fasta file used for profiling. "
+                 "They will not be considered in genomeLevel operations:"),
+    "iRepError": ("The following genomes failed to calculate iRep for an "
+                  "unknown reason:"),
+    "CompareException": "The following scaffolds failed during compare:",
+}
+
+
+def _section(title: str) -> str:
+    return ("\n.:: " + title + " ::.\n")
+
+
+def _checkpoint_section(cps, klass: str, overall: Optional[float]) -> str:
+    """Per-checkpoint runtimes + RAM deltas for one checkpoint class
+    (reference: gen_checkpoint_report, logUtils.py:587-655)."""
+    db = cps[cps["class"] == klass]
+    if not len(db):
+        return ""
+    out = []
+    times = {}
+    for name, ndb in db.groupby("name", sort=False):
+        try:
+            s = ndb[ndb.status == "start"]["rest"].iloc[0].split()
+            e = ndb[ndb.status == "end"]["rest"].iloc[-1].split()
+            t0, t1 = float(s[-1]), float(e[-1])
+            ram0, ram1 = int(s[0]), int(e[0])
+            times[name] = (t0, t1, ram0, ram1)
+        except (ValueError, IndexError):
+            out.append(f"{name:24s} started and never finished")
+    total = overall
+    if total is None and times:
+        total = max(t1 for _, t1, _, _ in times.values()) - \
+            min(t0 for t0, _, _, _ in times.values())
+    for name, (t0, t1, ram0, ram1) in times.items():
+        pct = 100.0 * (t1 - t0) / total if total else 0.0
+        inc = "increased" if ram1 >= ram0 else "decreased"
+        out.append(f"{name:24s} took {t1 - t0:9.1f}s ({pct:5.1f}% of "
+                   f"overall)\tRAM went from {humanbytes(ram0)} to "
+                   f"{humanbytes(ram1)} ({inc} by "
+                   f"{humanbytes(abs(ram1 - ram0))})")
+    return "\n".join(out)
+
+
+def _worker_class_section(db) -> str:
+    """Parallel-efficiency report for one worker class (reference:
+    gen_multiprocessing_text, logUtils.py:372-423): wall vs summed unit
+    time, concurrency, efficiency, per-unit stats, RAM."""
+    units = []
+    for unit, udb in db.groupby("name"):
+        try:
+            s = udb[udb.status == "start"]["rest"].iloc[0].split()
+            e = udb[udb.status == "end"]["rest"].iloc[-1].split()
+            units.append(dict(unit=unit, t0=float(s[0]), t1=float(e[0]),
+                              pid=s[1], ram0=int(s[2]), ram1=int(e[2])))
+        except (ValueError, IndexError):
+            continue
+    if not units:
+        return ""
+    wall = max(u["t1"] for u in units) - min(u["t0"] for u in units)
+    wall = max(wall, 1e-9)
+    par = sum(u["t1"] - u["t0"] for u in units)
+    pids = sorted({u["pid"] for u in units})
+    durs = sorted(u["t1"] - u["t0"] for u in units)
+    n = len(durs)
+    longest = max(units, key=lambda u: u["t1"] - u["t0"])
+    lines = [
+        f"{'Wall time':32s}\t{wall:.1f}s",
+        f"{'Total processes used':32s}\t{len(pids)}",
+        f"{'Average number processes used':32s}\t{par / wall:.1f}",
+        f"{'Parallelization efficiency':32s}\t"
+        f"{100.0 * par / wall / len(pids):.1f}%",
+        f"{'Units profiled':32s}\t{n}",
+        f"{'Average time per unit':32s}\t{par / n:.2f}s",
+        f"{'Median time per unit':32s}\t{durs[n // 2]:.2f}s",
+        f"{'Maximum unit time':32s}\t{durs[-1]:.2f}s",
+        f"{'Longest running unit':32s}\t{longest['unit']} "
+        f"({longest['t1'] - longest['t0']:.2f}s)",
+        f"{'Per-unit RAM increase (mean)':32s}\t"
+        f"{humanbytes(sum(u['ram1'] - u['ram0'] for u in units) / n)}",
+    ]
+    return "\n".join(lines)
+
+
+def _failures_section(fails) -> str:
+    """Failure-class breakdown with the reference's explanations
+    (reference: _gen_failures_report, logUtils.py:707-767)."""
+    if not len(fails):
+        return "No failures"
+    out = []
+    for ftype, db in fails.groupby("class"):
+        text = _FAILURE_TEXT.get(
+            ftype, f"I dont know how to report {ftype} failures — units:")
+        out.append(text)
+        for _, row in db.iterrows():
+            out.append(f"  {row['name']}")
+        out.append("")
+    return "\n".join(out).rstrip()
+
+
 def report_run_stats(logloc: str, printToo: bool = True,
                      output: Optional[str] = None) -> str:
-    """Runtime/failure summary from a log file (reference:
-    logUtils.report_run_stats / generate_reports, simplified)."""
+    """Runtime / parallel-efficiency / failure summary from a log file
+    (reference: logUtils.report_run_stats + generate_reports,
+    logUtils.py:25-83, 240-767); written as <run>.runtime_summary.txt."""
     try:
         ldb = load_log(logloc)
     except FileNotFoundError:
@@ -110,53 +220,36 @@ def report_run_stats(logloc: str, printToo: bool = True,
     lines = ["..:: Run report ::.."]
     if len(ldb):
         cps = ldb[ldb.log_type == "checkpoint"]
-        for (klass, name), db in cps.groupby(["class", "name"]):
-            starts = db[db.status == "start"]["rest"]
-            ends = db[db.status == "end"]["rest"]
-            if len(starts) and len(ends):
-                try:
-                    t0 = float(starts.iloc[0].split()[-1])
-                    t1 = float(ends.iloc[-1].split()[-1])
-                    lines.append(f"{klass:20s} {name:30s} "
-                                 f"{t1 - t0:10.1f}s")
-                except (ValueError, IndexError):
-                    pass
-        # per-worker-class report (reference: gen_multiprocessing_report
-        # / gen_multiprocessing_text, logUtils.py:425-585)
+        # Overall: bounds of the main checkpoint class
+        overall = None
+        main = cps[cps["class"] == "main_profile"]
+        try:
+            t0 = float(main[main.status == "start"]["rest"].iloc[0]
+                       .split()[-1])
+            t1 = float(main[main.status == "end"]["rest"].iloc[-1]
+                       .split()[-1])
+            overall = t1 - t0
+            lines.append(_section("Overall"))
+            lines.append(f"Overall runtime: {overall:.1f} seconds")
+        except (ValueError, IndexError):
+            pass
+
+        for klass in cps["class"].unique():
+            sec = _checkpoint_section(cps, klass, overall)
+            if sec:
+                lines.append(_section(f"Checkpoints: {klass}"))
+                lines.append(sec)
+
+        # per-worker-class parallel-efficiency reports
         wdb = ldb[ldb.log_type == "worker"]
         for klass, db in wdb.groupby("class"):
-            durs, rams = [], []
-            for unit, udb in db.groupby("name"):
-                try:
-                    s = udb[udb.status == "start"]["rest"].iloc[0].split()
-                    e = udb[udb.status == "end"]["rest"].iloc[-1].split()
-                    durs.append((float(e[0]) - float(s[0]), unit))
-                    rams.append(int(e[2]) - int(s[2]))
-                except (ValueError, IndexError):
-                    continue
-            if not durs:
-                continue
-            ds = sorted(d for d, _ in durs)
-            n = len(ds)
-            lines.append(
-                f"\n{klass}: {n} units; total {sum(ds):.1f}s; "
-                f"mean {sum(ds) / n:.2f}s; median {ds[n // 2]:.2f}s; "
-                f"max {ds[-1]:.2f}s")
-            worst = sorted(durs, reverse=True)[:3]
-            lines.append("  slowest: " + ", ".join(
-                f"{u} ({d:.2f}s)" for d, u in worst))
-            if rams:
-                lines.append(f"  RAM use increase: "
-                             f"{humanbytes(sum(rams) / len(rams))} "
-                             f"mean per unit")
+            sec = _worker_class_section(db)
+            if sec:
+                lines.append(_section(f"Worker class: {klass}"))
+                lines.append(sec)
 
-        fails = ldb[ldb.log_type == "failure"]
-        if len(fails):
-            lines.append(f"\n{len(fails)} FAILURES:")
-            for _, row in fails.iterrows():
-                lines.append(f"  {row['class']} {row['name']}")
-        else:
-            lines.append("\nNo failures")
+        lines.append(_section("Failures"))
+        lines.append(_failures_section(ldb[ldb.log_type == "failure"]))
     report = "\n".join(lines)
     if printToo:
         print(report)

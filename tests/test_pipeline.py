@@ -149,7 +149,50 @@ def test_run_report(full_profile):
                 "start 1000 100.0\n")
         f.write("08-17 10:01 DEBUG Checkpoint main_profile filter_reads "
                 "end 1200 160.0\n")
+        f.write("08-17 10:02 DEBUG WorkerLog SplitProfile scafA start "
+                "100.0 77 1000\n")
+        f.write("08-17 10:02 DEBUG WorkerLog SplitProfile scafA end "
+                "103.0 77 1500\n")
+        f.write("08-17 10:02 DEBUG WorkerLog SplitProfile scafB start "
+                "103.0 77 1500\n")
+        f.write("08-17 10:02 DEBUG WorkerLog SplitProfile scafB end "
+                "105.0 77 1500\n")
         f.write("08-17 10:02 DEBUG FAILURE iRepError genomeX 1\n")
     report = report_run_stats(log, printToo=False)
     assert "filter_reads" in report
-    assert "1 FAILURES" in report
+    assert "Worker class: SplitProfile" in report
+    assert "Parallelization efficiency" in report
+    assert "Units profiled" in report
+    assert "Longest running unit" in report
+    assert "scafA" in report  # 3.0 s > scafB's 2.0 s
+    assert "failed to calculate iRep" in report
+    assert "genomeX" in report
+
+
+def test_run_report_with_injected_failure(tmp_path, ref_null_model):
+    """End-to-end: a profile run with the magic failure scaffold (debug
+    mode) produces a runtime_summary with checkpoint, worker-class and
+    failure-class sections (reference: runtime_summary.txt content,
+    logUtils.py:240-767)."""
+    import os
+    D = "/root/reference/test/test_data/"
+    bam = D + "N5_271_010G1_scaffold_failureScaffold.sorted.bam"
+    fasta = D + "N5_271_010G1_scaffold_failureScaffold.fa"
+    if not os.path.exists(bam):
+        pytest.skip("fixture missing")
+    from instrain_tpu.profile.pipeline import profile
+    cfg = ProfileConfig(output=str(tmp_path / "fail.IS"),
+                        skip_plot_generation=True, skip_genome_wide=True,
+                        debug=True)
+    cfg.variant.null_model = ref_null_model
+    isdir = profile(bam, fasta, cfg)
+    summary = isdir.get_location("log") + "runtime_summary.txt"
+    assert os.path.exists(summary)
+    txt = open(summary).read()
+    assert "Overall runtime" in txt
+    assert "Checkpoints: main_profile" in txt
+    assert "profile_scaffolds" in txt
+    assert "Worker class: SplitProfile" in txt
+    assert "Parallelization efficiency" in txt
+    assert "scaffolds failed during profiling" in txt
+    assert "FailureScaffoldHeaderTesting" in txt
