@@ -99,7 +99,8 @@ def plot_coverage_breadth_vs_mm(isdir: ProfileDir, **kwargs):
     axes[0].set_ylabel("coverage")
     axes[1].set_xlabel("read pair mismatches")
     axes[1].set_ylabel("breadth")
-    if len(db["genome"].unique()) <= 10:
+    if (len(db["genome"].unique()) <= 10 and
+            axes[0].get_legend_handles_labels()[1]):
         axes[0].legend(fontsize=6)
     plt.tight_layout()
     plt.savefig(_figpath(isdir, "CoverageAndBreadth_vs_readMismatch.pdf"))
@@ -310,7 +311,8 @@ def plot_linkage_decay_types(isdir: ProfileDir, **kwargs):
                  ms=2, label=ptype)
     plt.xlabel("distance (bp)")
     plt.ylabel("r2")
-    plt.legend(fontsize=7)
+    if plt.gca().get_legend_handles_labels()[1]:
+        plt.legend(fontsize=7)
     plt.tight_layout()
     plt.savefig(_figpath(isdir, "LinkageDecay_types_plot.pdf"))
     plt.close(fig)

@@ -198,6 +198,10 @@ class TestSarsGolden:
         assert np.allclose(m["unmaskedBreadth"], m["breadth_minCov"],
                            atol=1e-12)
         assert np.allclose(m["coverage_g"], m["coverage_o"], rtol=1e-12)
+        assert np.array_equal(m["median_cov"], m["coverage_median"])
+        assert np.allclose(m["std_cov"], m["coverage_std"], atol=1e-12)
+        assert np.allclose(1 - m["median_clonality"],
+                           m["nucl_diversity_median"], atol=1e-12)
         assert np.array_equal(m["SNPs"], m["divergent_site_count"])
         assert np.array_equal(m["consensus_SNPs"],
                               m["consensus_divergent_sites"])
