@@ -40,9 +40,13 @@ BASES = np.frombuffer(b"ACGT", dtype=np.uint8)
 
 
 def synth(workdir: str, seed: int = 7):
+    """Synthetic metagenome mapping written as a REAL BGZF BAM (the text
+    SAM path costs ~10x more decode time and would dominate the bench)."""
+    from instrain_tpu.io.bgzf import (bam_header, bam_record, nm_tag,
+                                      write_bgzf)
     rng = np.random.default_rng(seed)
     fasta = os.path.join(workdir, "synth.fasta")
-    sam = os.path.join(workdir, "synth.sam")
+    bam = os.path.join(workdir, "synth.bam")
     n_pairs_per_scaffold = int(L * COV / (2 * READ))
     refs = {}
     with open(fasta, "w") as f:
@@ -51,45 +55,44 @@ def synth(workdir: str, seed: int = 7):
             refs[f"scaf_{s}"] = seq
             f.write(f">scaf_{s}\n{seq.tobytes().decode()}\n")
 
-    qual = "I" * READ  # Q40 >= the pileup's min_base_quality 30
-    with open(sam, "w") as f:
-        f.write("@HD\tVN:1.6\tSO:coordinate\n")
-        for s in range(S):
-            f.write(f"@SQ\tSN:scaf_{s}\tLN:{L}\n")
-        qid = 0
-        for s in range(S):
-            ref = refs[f"scaf_{s}"]
-            # plant strain SNVs: ~1 per kb at 30% allele frequency
-            snv_pos = rng.choice(L, L // 1000, replace=False)
-            snv_alt = BASES[(np.searchsorted(BASES, ref[snv_pos]) +
-                             rng.integers(1, 4, len(snv_pos))) % 4]
-            starts = np.sort(rng.integers(0, L - INSERT, n_pairs_per_scaffold))
-            recs = []
-            for p0 in starts:
-                p1 = p0 + INSERT - READ
-                pair = []
-                for pos, flag in ((p0, 99), (p1, 147)):
-                    seq = ref[pos:pos + READ].copy()
-                    # planted variants on ~30% of reads
-                    m = (snv_pos >= pos) & (snv_pos < pos + READ)
-                    nm = 0
-                    if m.any() and rng.random() < 0.3:
-                        seq[snv_pos[m] - pos] = snv_alt[m]
-                        nm = int(m.sum())
-                    tlen = INSERT if flag == 99 else -INSERT
-                    pair.append((pos, flag, seq.tobytes().decode(), nm,
-                                 tlen))
-                a, b = pair
-                recs.append((a[0], f"r{qid}\t{a[1]}\tscaf_{s}\t{a[0]+1}\t42"
-                             f"\t{READ}M\t=\t{b[0]+1}\t{a[4]}\t{a[2]}"
-                             f"\t{qual}\tNM:i:{a[3]}\n"))
-                recs.append((b[0], f"r{qid}\t{b[1]}\tscaf_{s}\t{b[0]+1}\t42"
-                             f"\t{READ}M\t=\t{a[0]+1}\t{b[4]}\t{b[2]}"
-                             f"\t{qual}\tNM:i:{b[3]}\n"))
-                qid += 1
-            recs.sort(key=lambda r: r[0])
-            f.writelines(r[1] for r in recs)
-    return fasta, sam, S * n_pairs_per_scaffold
+    qual = bytes([40]) * READ  # Q40 >= the pileup's min_base_quality 30
+    cigar = [(READ, "M")]
+    parts = [bam_header([(f"scaf_{s}", L) for s in range(S)])]
+    qid = 0
+    for s in range(S):
+        ref = refs[f"scaf_{s}"]
+        # plant strain SNVs: ~1 per kb at 30% allele frequency
+        snv_pos = rng.choice(L, L // 1000, replace=False)
+        snv_alt = BASES[(np.searchsorted(BASES, ref[snv_pos]) +
+                         rng.integers(1, 4, len(snv_pos))) % 4]
+        starts = np.sort(rng.integers(0, L - INSERT,
+                                      n_pairs_per_scaffold))
+        recs = []
+        for p0 in starts:
+            p1 = p0 + INSERT - READ
+            pair = []
+            for pos, flag in ((int(p0), 99), (int(p1), 147)):
+                seq = ref[pos:pos + READ].copy()
+                # planted variants on ~30% of reads
+                m = (snv_pos >= pos) & (snv_pos < pos + READ)
+                nm = 0
+                if m.any() and rng.random() < 0.3:
+                    seq[snv_pos[m] - pos] = snv_alt[m]
+                    nm = int(m.sum())
+                tlen = INSERT if flag == 99 else -INSERT
+                pair.append((pos, flag, seq.tobytes().decode(), nm, tlen))
+            a, b = pair
+            recs.append((a[0], bam_record(
+                f"r{qid}", a[1], s, a[0], 42, cigar, s, b[0], a[4], a[2],
+                qual, nm_tag(a[3]))))
+            recs.append((b[0], bam_record(
+                f"r{qid}", b[1], s, b[0], 42, cigar, s, a[0], b[4], b[2],
+                qual, nm_tag(b[3]))))
+            qid += 1
+        recs.sort(key=lambda r: r[0])
+        parts.extend(r[1] for r in recs)
+    write_bgzf(bam, b"".join(parts))
+    return fasta, bam, S * n_pairs_per_scaffold
 
 
 def run_once(sam, fasta, out):
