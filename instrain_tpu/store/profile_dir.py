@@ -30,6 +30,16 @@ from .. import __version__
 
 SPECIAL_SERIES = {"covT", "snpsCounted", "clonT", "clonTR"}
 
+# hd5 "special" dataset compression. The reference writes gzip
+# (SNVprofile.py:717-748); lzf is ~2x faster to write on this host, still
+# a standard h5py filter the reference's h5py reads transparently
+# (cross-compat tests read our profiles through the reference's
+# SNVprofile), and selective per-scaffold loading is unaffected.
+# INSTRAIN_H5_COMP=gzip restores byte-level reference parity.
+_H5_COMP = os.environ.get("INSTRAIN_H5_COMP", "lzf")
+if _H5_COMP in ("none", ""):
+    _H5_COMP = None
+
 
 class ProfileDir:
     """A profile/compare results directory (reference: SNVprofile)."""
@@ -176,7 +186,7 @@ class ProfileDir:
                             f"{scaff}::{mm}",
                             data=np.array([series.values,
                                            series.index.values]),
-                            compression="gzip")
+                            compression=_H5_COMP)
         elif name in ("scaff2pair2mm2SNPs", "scaff2pair2mm2cov"):
             with h5py.File(fileloc, "w") as f:
                 for scaff, pair2mm2 in obj.items():
@@ -185,7 +195,7 @@ class ProfileDir:
                             f.create_dataset(
                                 f"{scaff}::{pair}::{mm}",
                                 data=np.asarray(sorted(vals), dtype="float64"),
-                                compression="gzip")
+                                compression=_H5_COMP)
         else:
             fileloc = self._fileloc(name) + ".pickle"
             with open(fileloc, "wb") as f:
