@@ -50,24 +50,31 @@ def main():
     refs_d = jax.device_put(refs)
 
     def run_xla():
-        return jax.block_until_ready(site_stats(
-            counts_d, refs_d, null_lut, freq_lut, key))
+        return site_stats(counts_d, refs_d, null_lut, freq_lut, key)
 
     def run_pallas():
-        return jax.block_until_ready(site_stats_pallas_full(
-            counts_d, refs_d, null_lut, freq_lut, key,
-            interpret=interpret))
+        return site_stats_pallas_full(counts_d, refs_d, null_lut,
+                                      freq_lut, key, interpret=interpret)
+
+    # block_until_ready does not synchronize through the axon relay:
+    # time a pipelined batch of calls closed by ONE tiny scalar fetch
+    # (np.asarray forces completion of everything queued before it)
+    N = 10
+
+    def timed(fn):
+        np.asarray(fn()["total"].sum())  # compile + settle
+        t0 = time.perf_counter()
+        out = None
+        for _ in range(N):
+            out = fn()
+        np.asarray(out["total"].sum())
+        return (time.perf_counter() - t0) / N
 
     out = {"shape": [M, 4, L], "backend": jax.default_backend()}
     for name, fn in (("xla", run_xla), ("pallas", run_pallas)):
-        fn()  # compile
-        reps = []
-        for _ in range(5):
-            t0 = time.perf_counter()
-            fn()
-            reps.append(time.perf_counter() - t0)
-        out[f"{name}_s"] = round(min(reps), 4)
-        out[f"{name}_cells_per_s"] = round(M * L / min(reps), 1)
+        dt = min(timed(fn) for _ in range(3))
+        out[f"{name}_s"] = round(dt, 4)
+        out[f"{name}_cells_per_s"] = round(M * L / dt, 1)
     if out.get("xla_s") and out.get("pallas_s"):
         out["pallas_speedup"] = round(out["xla_s"] / out["pallas_s"], 3)
     print(json.dumps(out))
