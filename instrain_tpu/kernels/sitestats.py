@@ -288,9 +288,21 @@ def _site_stats_compact_traced(counts, ref_codes, null_lut, freq_lut,
                                 total=full["total"].astype(jnp.int32))
         else:
             # u8 wire: the host reconstructs total AND clon natively from
-            # the counts it already holds (io.bam.clon_cum16); only the
-            # PRNG-dependent clonR can come from the device
-            out["dense"] = dict(clonR=full["clonR"])
+            # the counts it already holds (io.bam.clon_cum16). The
+            # PRNG-dependent clonR crosses SPARSELY inside the single
+            # packed wire: values only at positions where any mm level
+            # reaches rarefied coverage (few in practice — a dense
+            # [M, L] f32 fetch used to dominate the transfer)
+            clonR = full["clonR"]
+            rset_any = jnp.any(full["clonR_set"], axis=0)    # [L]
+            cap = kw["rpos_capacity"]
+            (ridx,) = jnp.nonzero(rset_any, size=cap, fill_value=-1)
+            rvalid = ridx >= 0
+            safe = jnp.maximum(ridx, 0)
+            out["clonR_sparse"] = dict(
+                pos=jnp.where(rvalid, safe, -1).astype(jnp.int32),
+                vals=clonR[:, safe].astype(jnp.float32),
+                n=rset_any.sum())
     return out
 
 
@@ -407,14 +419,15 @@ def compact_outputs(full, counts, true_len, snp_capacity: int,
 @functools.partial(
     jax.jit,
     static_argnames=("min_cov", "min_covR", "rarefied_draws",
-                     "snp_capacity", "pos_capacity", "with_dense",
-                     "spec_key"))
+                     "snp_capacity", "pos_capacity", "rpos_capacity",
+                     "with_dense", "spec_key"))
 def site_stats_compact_u8(counts_u8, corr_idx, corr_val, ref_codes,
                           null_lut, freq_lut, rng_key, true_len,
                           min_cov: int = 5, min_covR: int = 50,
                           rarefied_draws: int = 50,
                           snp_capacity: int = 1024,
                           pos_capacity: int = 1024,
+                          rpos_capacity: int = 1024,
                           with_dense: bool = False,
                           spec_key=None):
     """
@@ -422,10 +435,12 @@ def site_stats_compact_u8(counts_u8, corr_idx, corr_val, ref_codes,
     relay-limited host<->device link:
       in : uint8-saturated counts (half the int16 bytes) + sparse int32
            corrections for cells > 255 (io.bam.pack_counts_u8)
-      out: _compact_from_full with bit-packed position masks and int16
+      out: _compact_from_full with bit-packed position masks, int16
            linkage counts (+ overflow flag; the caller falls back to the
-           two-phase int32 path in the rare >32767-coverage case),
-           flattened into ONE uint64 wire buffer (_pack_out)
+           two-phase int32 path in the rare >32767-coverage case), and
+           with_dense a SPARSE clonR (values only at rarefied-coverage
+           positions), all flattened into ONE uint64 wire buffer
+           (_pack_out)
     One host->device put, one dispatch, ONE device_get — no capacity
     round-trip (the caller retries with larger static capacities if the
     speculative ones overflow).
@@ -434,16 +449,15 @@ def site_stats_compact_u8(counts_u8, corr_idx, corr_val, ref_codes,
     counts = c.reshape(-1).at[corr_idx].add(corr_val).reshape(c.shape)
     # dense_device=False: the host reconstructs `total` and `clon`
     # natively from the counts it already holds (io.bam.clon_cum16), so
-    # only the PRNG-dependent clonR can cross the link
+    # only the PRNG-dependent clonR crosses — sparsely, in the wire
     out = _site_stats_compact_traced(
         counts, ref_codes, null_lut, freq_lut, rng_key, true_len,
         min_cov=min_cov, min_covR=min_covR, rarefied_draws=rarefied_draws,
         snp_capacity=snp_capacity, pos_capacity=pos_capacity,
+        rpos_capacity=rpos_capacity,
         with_dense=with_dense, dense_device=False)
     out = _pack_wire(out)
-    dense = out.pop("dense", None)
-    flat = _pack_out(out, spec_key)
-    return flat + ((dense,) if dense is not None else ())
+    return _pack_out(out, spec_key)
 
 
 # Wire specs recorded at trace time, keyed by the caller-supplied static
