@@ -589,36 +589,40 @@ def _pack_wire(out):
 @functools.partial(
     jax.jit,
     static_argnames=("min_cov", "min_covR", "rarefied_draws",
-                     "snp_capacity", "pos_capacity", "with_dense",
-                     "spec_key"))
+                     "snp_capacity", "pos_capacity", "rpos_capacity",
+                     "with_dense", "spec_key"))
 def site_stats_compact_batch_u8(counts_u8, corr_idx, corr_val, ref_codes,
                                 lens, null_lut, freq_lut, rng_keys,
                                 min_cov: int = 5, min_covR: int = 50,
                                 rarefied_draws: int = 50,
                                 snp_capacity: int = 1024,
                                 pos_capacity: int = 1024,
+                                rpos_capacity: int = 1024,
                                 with_dense: bool = False,
                                 spec_key=None):
     """Batched (vmapped) u8 wire-format variant of site_stats_compact_u8:
-    counts_u8 [S, M, 4, L] saturated uint8, corrections flat-indexed into
-    the whole stack; per-scaffold packed masks / int16 linkage counts /
-    overflow flags; with_dense rides clon/clonR along (`total` is
-    host-reconstructed, see io.bam.total_cum16)."""
-    c = counts_u8.astype(jnp.int32)
-    counts = c.reshape(-1).at[corr_idx].add(corr_val).reshape(c.shape)
+    counts_u8 [S, M, 4, L] saturated uint8, corrections PER SCAFFOLD
+    ([S, C] within-scaffold flat index / value, zero-padded — so each
+    scaffold's scatter stays scaffold-local and the whole launch shards
+    along S over a device mesh); per-scaffold packed masks / int16
+    linkage counts / overflow flags; with_dense rides a per-scaffold
+    SPARSE clonR in the wire (`total`/`clon` are host-reconstructed,
+    see io.bam.clon_cum16). Returns ONE packed uint64 wire buffer."""
 
-    def one(c1, r, l, k):
+    def one(c1, ci, cv, r, l, k):
+        c = c1.astype(jnp.int32)
+        c = c.reshape(-1).at[ci].add(cv).reshape(c1.shape)
         out = _site_stats_compact_traced(
-            c1, r, null_lut, freq_lut, k, l, min_cov=min_cov,
+            c, r, null_lut, freq_lut, k, l, min_cov=min_cov,
             min_covR=min_covR, rarefied_draws=rarefied_draws,
             snp_capacity=snp_capacity, pos_capacity=pos_capacity,
+            rpos_capacity=rpos_capacity,
             with_dense=with_dense, dense_device=False)
         return _pack_wire(out)
 
-    out = jax.vmap(one)(counts, ref_codes, lens, rng_keys)
-    dense = out.pop("dense", None)
-    flat = _pack_out(out, spec_key)
-    return flat + ((dense,) if dense is not None else ())
+    out = jax.vmap(one)(counts_u8, corr_idx, corr_val, ref_codes, lens,
+                        rng_keys)
+    return _pack_out(out, spec_key)
 
 
 @functools.partial(jax.jit, static_argnames=("snp_capacity", "pos_capacity"))

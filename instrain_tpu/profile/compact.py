@@ -116,7 +116,55 @@ _SPEC_CAPS: Dict = {}
 
 
 def _bucket_caps(shape) -> Dict:
-    return _SPEC_CAPS.setdefault(tuple(shape), {"snp": 256, "pos": 256})
+    return _SPEC_CAPS.setdefault(tuple(shape),
+                                 {"snp": 256, "pos": 256, "rpos": 256,
+                                  "corr": 64})
+
+
+def _clonR_from_sparse(sp: Dict, k, M: int, L: int) -> np.ndarray:
+    """Reconstruct the dense [M, L] rarefied-clonality array from the
+    wire's sparse (pos, vals) slice — NaN everywhere no mm level reached
+    rarefied coverage (exactly how the device kernel leaves those cells).
+    `k=None` selects the unbatched (single-scaffold) layout."""
+    pos = sp["pos"] if k is None else sp["pos"][k]
+    vals = sp["vals"] if k is None else sp["vals"][k]
+    n = int(sp["n"] if k is None else sp["n"][k])
+    if n == 0:
+        return np.broadcast_to(np.float32(np.nan), (M, L))
+    out = np.full((M, L), np.nan, dtype=np.float32)
+    v = pos >= 0
+    out[:, pos[v]] = vals[:, v]
+    return out
+
+
+def _per_scaffold_corrections(cidx: np.ndarray, cval: np.ndarray, S: int,
+                              per: int, caps: Dict):
+    """Regroup pack_counts_u8's stack-flat (index, value) corrections into
+    per-scaffold [S, C] arrays (within-scaffold flat index, zero-padded)
+    so each scaffold's scatter-add stays shard-local under a mesh. C is
+    the bucket's speculative "corr" capacity, raised host-side up front —
+    overflow is known before launch, so no kernel run is ever wasted."""
+    nz = cval != 0
+    sid = cidx[nz] // per
+    loc = (cidx[nz] % per).astype(np.int32)
+    val = cval[nz]
+    counts = np.bincount(sid, minlength=S) if sid.size else np.zeros(
+        S, np.int64)
+    need = int(counts.max()) if counts.size else 0
+    if need > caps["corr"]:
+        caps["corr"] = _pow2_capacity(need, lo=64)
+    C = caps["corr"]
+    ci = np.zeros((S, C), np.int32)
+    cv = np.zeros((S, C), np.int32)
+    order = np.argsort(sid, kind="stable")
+    sid, loc, val = sid[order], loc[order], val[order]
+    starts = np.zeros(S + 1, np.int64)
+    np.cumsum(counts, out=starts[1:])
+    for s in range(S):
+        a, b = starts[s], starts[s + 1]
+        ci[s, :b - a] = loc[a:b]
+        cv[s, :b - a] = val[a:b]
+    return ci, cv
 
 
 def _run_compact_u8(counts: np.ndarray, ref_codes: np.ndarray, L: int,
@@ -150,7 +198,7 @@ def _run_compact_u8(counts: np.ndarray, ref_codes: np.ndarray, L: int,
         _t_add("h2d", time.perf_counter() - t0)
     caps = _bucket_caps(counts.shape)
     for _ in range(8):
-        skey = ("u8", counts.shape, caps["snp"], caps["pos"],
+        skey = ("u8", counts.shape, caps["snp"], caps["pos"], caps["rpos"],
                 with_dense, min_cov, rarefied_coverage)
         t0 = time.perf_counter()
         res = site_stats_compact_u8(
@@ -158,15 +206,14 @@ def _run_compact_u8(counts: np.ndarray, ref_codes: np.ndarray, L: int,
             np.int32(L), min_cov=min_cov, min_covR=rarefied_coverage,
             rarefied_draws=rarefied_coverage,
             snp_capacity=caps["snp"],
-            pos_capacity=caps["pos"], with_dense=with_dense,
-            spec_key=skey)
+            pos_capacity=caps["pos"], rpos_capacity=caps["rpos"],
+            with_dense=with_dense, spec_key=skey)
         if TIMINGS is not None:
             jax.block_until_ready(res)
         _t_add("compute", time.perf_counter() - t0)
-        # ONE packed fetch for everything except the dense clonR, which
-        # stays on device (and is never transferred) when no position
-        # reaches rarefied coverage
-        dense_dev = res[1] if with_dense else None
+        # ONE packed fetch for everything — with_dense, the rarefied
+        # clonality crosses SPARSELY inside the same wire (values only
+        # at positions where some mm level reached rarefied coverage)
         t0 = time.perf_counter()
         wire = np.asarray(res[0])
         _t_add("fetch", time.perf_counter() - t0)
@@ -175,7 +222,10 @@ def _run_compact_u8(counts: np.ndarray, ref_codes: np.ndarray, L: int,
             return None
         n_rows = int(out["rows"]["n_rows"])
         n_pos = int(out["linkage"]["n_pos"])
-        if (n_rows <= caps["snp"] and n_pos <= caps["pos"]):
+        sp = out.pop("clonR_sparse", None)
+        n_rar = int(sp["n"]) if sp is not None else 0
+        if (n_rows <= caps["snp"] and n_pos <= caps["pos"] and
+                n_rar <= caps["rpos"]):
             Lp = counts.shape[-1]
             m = out["masks"]
             out["masks"] = dict(
@@ -184,22 +234,34 @@ def _run_compact_u8(counts: np.ndarray, ref_codes: np.ndarray, L: int,
                 bases_mask=np.unpackbits(
                     m["bases_mask"], axis=-1)[:, :Lp].astype(bool))
             out["linkage"]["cum"] = out["linkage"]["cum"].astype(np.int32)
-            if dense_dev is not None:
-                shape = counts.shape[0], counts.shape[2]
-                if out["agg"]["rarefied"].sum() > 0:
-                    t0 = time.perf_counter()
-                    clonR = np.asarray(dense_dev["clonR"])
-                    _t_add("fetch", time.perf_counter() - t0)
-                else:
-                    clonR = np.broadcast_to(np.float32(np.nan), shape)
-                out["dense"] = dict(clonR=clonR)
+            if sp is not None:
+                out["dense"] = dict(clonR=_clonR_from_sparse(
+                    sp, None, counts.shape[0], Lp))
             return out
-        before = (caps["snp"], caps["pos"])
+        before = (caps["snp"], caps["pos"], caps["rpos"])
         caps["snp"] = max(caps["snp"], _pow2_capacity(n_rows, lo=256))
         caps["pos"] = max(caps["pos"], _pow2_capacity(n_pos, lo=256))
-        if (caps["snp"], caps["pos"]) == before:
+        caps["rpos"] = max(caps["rpos"], _pow2_capacity(n_rar, lo=256))
+        if (caps["snp"], caps["pos"], caps["rpos"]) == before:
             return None  # capacity ceiling: retrying cannot help
     return None
+
+
+def _run_compact_u8_contained(*args, **kwargs) -> Optional[Dict]:
+    """_run_compact_u8 with failure containment: an exception in the u8
+    fast path logs a FAILURE line and falls through to the two-phase path
+    (None) instead of killing the scaffold — the reference never dies on
+    one bad unit (profile_utilities.py:92-112)."""
+    try:
+        return _run_compact_u8(*args, **kwargs)
+    except Exception as e:
+        import logging
+
+        from ..obs.logging import log_failure
+        log_failure("EngineException", "u8_wire", str(e))
+        logging.error(f"u8 wire path failed ({e}); falling back to the "
+                      f"two-phase path")
+        return None
 
 
 def _run_two_phase(counts, ref_codes, L, null_lut, freq_lut, key,
@@ -244,8 +306,9 @@ def run_site_stats_compact(pileup: ScaffoldPileup, ref_codes: np.ndarray,
     counts, ref_codes, M, L = _padded_inputs(pileup, ref_codes)
     key = jax.random.fold_in(jax.random.PRNGKey(seed), pileup.rid)
     if mesh is None:
-        out_u8 = _run_compact_u8(counts, ref_codes, L, null_lut, freq_lut,
-                                 key, min_cov, rarefied_coverage)
+        out_u8 = _run_compact_u8_contained(
+            counts, ref_codes, L, null_lut, freq_lut, key, min_cov,
+            rarefied_coverage)
         if out_u8 is not None:
             return CompactStats(pileup, out_u8, M, L)
     out = _run_two_phase(counts, ref_codes, L, null_lut, freq_lut, key,
@@ -286,9 +349,9 @@ def run_site_stats_hybrid(pileup: ScaffoldPileup, ref_codes: np.ndarray,
     counts, ref_codes, M, L = _padded_inputs(pileup, ref_codes)
     key = jax.random.fold_in(jax.random.PRNGKey(seed), pileup.rid)
     if mesh is None:
-        out_u8 = _run_compact_u8(counts, ref_codes, L, null_lut, freq_lut,
-                                 key, min_cov, rarefied_coverage,
-                                 with_dense=True)
+        out_u8 = _run_compact_u8_contained(
+            counts, ref_codes, L, null_lut, freq_lut, key, min_cov,
+            rarefied_coverage, with_dense=True)
         if out_u8 is not None:
             from ..io.bam import clon_cum16
             dense = out_u8.pop("dense")
@@ -462,63 +525,78 @@ def run_site_stats_compact_batch(pileups, ref_codes_list, null_lut,
                 lens[k] = L
                 keys.append(jax.random.fold_in(jax.random.PRNGKey(seed),
                                                pu.rid))
-            # u8 wire format: saturated uint8 stack + flat corrections,
-            # packed masks / int16 linkage counts on the way back, and
-            # speculative capacities bounded by the bucket shape
+            # u8 wire format: saturated uint8 stack + per-scaffold
+            # corrections, packed masks / int16 linkage counts / sparse
+            # clonR on the way back, and speculative capacities bounded
+            # by the bucket shape. Works sharded: with `mesh` the stack
+            # shards along the scaffold axis and every per-scaffold
+            # program (incl. its correction scatter) stays shard-local.
             packed = None
-            if all16 and counts.size < (1 << 31) and mesh is None:
+            if all16 and counts.size < (1 << 31):
                 from ..io.bam import pack_counts_u8
                 t0 = time.perf_counter()
                 packed = pack_counts_u8(counts,
                                         corr_capacity=4096 + 64 * S)
                 _t_add("pack", time.perf_counter() - t0)
+            caps = _bucket_caps(counts.shape[1:])
             if packed is not None:
                 from ..kernels.sitestats import site_stats_compact_batch_u8
                 from ..kernels.sitestats import unpack_wire
                 u8, cidx, cval = packed
-                keys_dev = jnp.stack(keys)
-                if TIMINGS is not None:
-                    t0 = time.perf_counter()
-                    u8, cidx, cval, refs_d, lens_d, null_d, freq_d = [
-                        jax.block_until_ready(jax.device_put(x))
-                        for x in (u8, cidx, cval, refs, lens, null_lut,
-                                  freq_lut)]
-                    _t_add("h2d", time.perf_counter() - t0)
-                else:
-                    refs_d, lens_d = refs, lens
+                cidx_s, cval_s = _per_scaffold_corrections(
+                    cidx, cval, S, Mp * 4 * Lp, caps)
+                keys_arr = np.stack([np.asarray(kk) for kk in keys])
+                if mesh is not None:
+                    from ..parallel.mesh import place_batch_sharded
+                    placed = place_batch_sharded(
+                        dict(u8=u8, cidx=cidx_s, cval=cval_s,
+                             ref_codes=refs, lens=lens, keys=keys_arr),
+                        mesh)
+                    u8_d, cidx_d, cval_d = (placed["u8"], placed["cidx"],
+                                            placed["cval"])
+                    refs_d, lens_d, keys_d = (placed["ref_codes"],
+                                              placed["lens"],
+                                              placed["keys"])
                     null_d, freq_d = null_lut, freq_lut
-                caps = _bucket_caps(counts.shape[1:])
+                    Sp = u8_d.shape[0]
+                elif TIMINGS is not None:
+                    t0 = time.perf_counter()
+                    (u8_d, cidx_d, cval_d, refs_d, lens_d, keys_d,
+                     null_d, freq_d) = [
+                        jax.block_until_ready(jax.device_put(x))
+                        for x in (u8, cidx_s, cval_s, refs, lens,
+                                  keys_arr, null_lut, freq_lut)]
+                    _t_add("h2d", time.perf_counter() - t0)
+                    Sp = S
+                else:
+                    u8_d, cidx_d, cval_d = u8, cidx_s, cval_s
+                    refs_d, lens_d, keys_d = refs, lens, keys_arr
+                    null_d, freq_d = null_lut, freq_lut
+                    Sp = S
                 snp_cap = min(caps["snp"], Mp * Lp)
                 pos_cap = min(caps["pos"], Lp)
-                skey = ("u8b", counts.shape, snp_cap, pos_cap,
-                        with_dense, min_cov, rarefied_coverage)
+                rpos_cap = min(caps["rpos"], Lp)
+                skey = ("u8b", (Sp,) + counts.shape[1:], snp_cap, pos_cap,
+                        rpos_cap, cidx_s.shape[1], with_dense, min_cov,
+                        rarefied_coverage)
                 t0 = time.perf_counter()
                 res = site_stats_compact_batch_u8(
-                    u8, cidx, cval, refs_d, lens_d, null_d, freq_d,
-                    keys_dev, min_cov=min_cov,
+                    u8_d, cidx_d, cval_d, refs_d, lens_d, null_d, freq_d,
+                    keys_d, min_cov=min_cov,
                     min_covR=rarefied_coverage,
                     rarefied_draws=rarefied_coverage,
                     snp_capacity=snp_cap, pos_capacity=pos_cap,
+                    rpos_capacity=rpos_cap,
                     with_dense=with_dense, spec_key=skey)
                 if TIMINGS is not None:
                     jax.block_until_ready(res)
                 _t_add("compute", time.perf_counter() - t0)
-                # ONE packed fetch; the chunk's clonR never crosses the
-                # link when nothing reached rarefied coverage
-                dense_dev = res[1] if with_dense else None
+                # ONE packed fetch; clonR rides sparsely inside it
                 t0 = time.perf_counter()
                 wire = np.asarray(res[0])
                 _t_add("fetch", time.perf_counter() - t0)
                 out = unpack_wire(wire, skey)
-                if dense_dev is not None:
-                    if out["agg"]["rarefied"].sum() > 0:
-                        t0 = time.perf_counter()
-                        clonR = np.asarray(dense_dev["clonR"])
-                        _t_add("fetch", time.perf_counter() - t0)
-                    else:
-                        clonR = np.broadcast_to(np.float32(np.nan),
-                                                (S, Mp, Lp))
-                    out["dense"] = dict(clonR=clonR)
+                clonR_sp = out.pop("clonR_sparse", None)
                 wire_u8 = True
                 cum_overflow = out["linkage"].pop("cum_overflow")
             else:
@@ -540,6 +618,7 @@ def run_site_stats_compact_batch(pileups, ref_codes_list, null_lut,
                     snp_capacity=SNP_CAPACITY, pos_capacity=POS_CAPACITY,
                     with_dense=with_dense))
                 wire_u8 = False
+                clonR_sp = None
                 cum_overflow = np.zeros(S, bool)
             dense = out.pop("dense", None)
             for k, (i, pu, rc) in enumerate(part):
@@ -575,14 +654,19 @@ def run_site_stats_compact_batch(pileups, ref_codes_list, null_lut,
                         total, clon = clon_cum16(counts[k], M, min_cov)
                         cs.dense = {
                             "total": total, "clon": clon,
-                            "clonR": np.asarray(dense["clonR"][k])}
+                            "clonR": _clonR_from_sparse(clonR_sp, k,
+                                                        Mp, Lp)}
                     else:
                         cs.dense = {kk: np.asarray(v[k])
                                     for kk, v in dense.items()}
                 n_rows = int(cs.rows["n_rows"])
                 n_pos = int(cs.linkage["n_pos"])
+                n_rar = (int(clonR_sp["n"][k]) if clonR_sp is not None
+                         else 0)
                 if (n_rows > len(cs.rows["pos"]) or
                         n_pos > len(cs.linkage["pos"]) or
+                        (clonR_sp is not None and
+                         n_rar > clonR_sp["pos"].shape[1]) or
                         bool(cum_overflow[k])):
                     # this scaffold overflowed the batch wire capacity;
                     # the caller re-runs it on the right-sizing
@@ -594,5 +678,7 @@ def run_site_stats_compact_batch(pileups, ref_codes_list, null_lut,
                                           _pow2_capacity(n_rows, lo=256))
                         caps["pos"] = max(caps["pos"],
                                           _pow2_capacity(n_pos, lo=256))
+                        caps["rpos"] = max(caps["rpos"],
+                                           _pow2_capacity(n_rar, lo=256))
                     results[i] = None
     return results

@@ -366,11 +366,21 @@ def _profile_scaffolds_batched(bam, pairs, registry, keep, cfg, null_lut,
 
     if not pileups:
         return []
-    stats_list = compact_mod.run_site_stats_compact_batch(
-        pileups, codes, null_lut, freq_lut,
-        min_cov=cfg.variant.min_cov,
-        rarefied_coverage=cfg.rarefied_coverage, seed=cfg.seed,
-        with_dense=True, mesh=mesh)
+    try:
+        stats_list = compact_mod.run_site_stats_compact_batch(
+            pileups, codes, null_lut, freq_lut,
+            min_cov=cfg.variant.min_cov,
+            rarefied_coverage=cfg.rarefied_coverage, seed=cfg.seed,
+            with_dense=True, mesh=mesh)
+    except Exception as e:
+        # engine containment: a kernel-engine exception must not kill the
+        # run (the reference contains per-unit failures and continues,
+        # profile_utilities.py:92-112). Every scaffold retries on the
+        # right-sizing per-scaffold hybrid/dense path below.
+        log_failure("EngineException", "batch_engine", str(e))
+        logging.error(f"batch engine failed ({e}); retrying every "
+                      f"scaffold on the per-scaffold path")
+        stats_list = [None] * len(pileups)
 
     results = []
     for pu, rc, (name, L), stats in tqdm(

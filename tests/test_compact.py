@@ -257,6 +257,109 @@ def test_batch_u8_wire_taken(tmp_path, ref_null_model):
     assert calls and all(d == np.uint8 for d in calls)
 
 
+def test_batch_engine_failure_falls_back(tmp_path, ref_null_model):
+    """A batch-kernel exception must not kill the run: the pipeline logs a
+    FAILURE line and retries every scaffold on the per-scaffold path,
+    producing correct tables (reference: per-unit failure containment,
+    profile_utilities.py:92-112)."""
+    import os
+    import instrain_tpu.profile.compact as C
+    from instrain_tpu.config import ProfileConfig
+    from instrain_tpu.profile.pipeline import profile
+
+    D = "/root/reference/test/test_data/"
+    bam = D + "N5_271_010G1_scaffold_failureScaffold.sorted.bam"
+    fasta = D + "N5_271_010G1_scaffold_failureScaffold.fa"
+    if not os.path.exists(bam):
+        pytest.skip("test data missing")
+
+    def boom(*a, **k):
+        raise RuntimeError("injected batch-engine failure")
+
+    orig = C.run_site_stats_compact_batch
+    C.run_site_stats_compact_batch = boom
+    try:
+        cfg = ProfileConfig(output=str(tmp_path / "fb"),
+                            skip_plot_generation=True,
+                            skip_genome_wide=True)
+        cfg.engine = "batch"
+        cfg.variant.null_model = ref_null_model
+        out_fb = profile(bam, fasta, cfg)
+    finally:
+        C.run_site_stats_compact_batch = orig
+
+    log = open(str(tmp_path / "fb" / "log" / "log.log")).read()
+    assert "FAILURE EngineException" in log
+
+    cfg = ProfileConfig(output=str(tmp_path / "ok"),
+                        skip_plot_generation=True, skip_genome_wide=True)
+    cfg.engine = "batch"
+    cfg.variant.null_model = ref_null_model
+    out_ok = profile(bam, fasta, cfg)
+    for tbl in ("cumulative_snv_table", "cumulative_scaffold_table",
+                "raw_linkage_table"):
+        a = out_ok.get(tbl).reset_index(drop=True)
+        b = out_fb.get(tbl).reset_index(drop=True)
+        pd.testing.assert_frame_equal(
+            a.sort_values(list(a.columns[:3])).reset_index(drop=True),
+            b.sort_values(list(b.columns[:3])).reset_index(drop=True),
+            check_dtype=False, check_exact=False, rtol=1e-6)
+
+
+def test_batch_u8_sharded_matches_unsharded(tmp_path, ref_null_model):
+    """The batch engine keeps the u8 wire under a device mesh (scaffold
+    axis sharded, corrections per-scaffold) and produces bit-identical
+    tables to the unsharded batch run."""
+    import os
+    import instrain_tpu.kernels.sitestats as K
+    from instrain_tpu.config import ProfileConfig
+    from instrain_tpu.profile.pipeline import profile
+
+    D = "/root/reference/test/test_data/"
+    bam = D + "N5_271_010G1_scaffold_failureScaffold.sorted.bam"
+    fasta = D + "N5_271_010G1_scaffold_failureScaffold.fa"
+    if not os.path.exists(bam):
+        pytest.skip("test data missing")
+
+    calls = []
+    orig = K.site_stats_compact_batch_u8
+
+    def spy(*a, **k):
+        calls.append(a[0].dtype)
+        return orig(*a, **k)
+
+    outs = {}
+    K.site_stats_compact_batch_u8 = spy
+    try:
+        for name, n_mesh in (("flat", 0), ("mesh", 8)):
+            cfg = ProfileConfig(output=str(tmp_path / name),
+                                skip_plot_generation=True,
+                                skip_genome_wide=True)
+            cfg.engine = "batch"
+            cfg.mesh_devices = n_mesh
+            cfg.variant.null_model = ref_null_model
+            calls.clear()
+            outs[name] = profile(bam, fasta, cfg)
+            assert calls and all(d == np.uint8 for d in calls), \
+                f"u8 wire not taken ({name})"
+    finally:
+        K.site_stats_compact_batch_u8 = orig
+
+    for tbl in ("cumulative_snv_table", "cumulative_scaffold_table",
+                "raw_linkage_table", "raw_snp_table"):
+        a = outs["flat"].get(tbl).reset_index(drop=True)
+        b = outs["mesh"].get(tbl).reset_index(drop=True)
+        pd.testing.assert_frame_equal(a, b, check_dtype=False)
+    for special in ("covT", "clonT", "clonTR"):
+        ca = outs["flat"].get(special)
+        cb = outs["mesh"].get(special)
+        assert set(ca) == set(cb)
+        for s in ca:
+            assert set(ca[s]) == set(cb[s])
+            for mm in ca[s]:
+                pd.testing.assert_series_equal(ca[s][mm], cb[s][mm])
+
+
 def test_wire_roundtrip_single_buffer():
     """_pack_out flattens a pytree into ONE uint64 buffer and unpack_wire
     inverts it exactly: <=32-bit leaves bitcast, int64 as-is, and f64
