@@ -96,6 +96,13 @@ def build_parser() -> argparse.ArgumentParser:
                         "devices of a 1-D mesh (position axis per "
                         "scaffold, scaffold axis for batches); 0 = "
                         "single device")
+    g.add_argument("--distributed", action="store_true",
+                   help="multi-host run: initialize jax.distributed "
+                        "(auto-detecting the cluster from the "
+                        "environment, or set JAX_COORDINATOR_ADDRESS / "
+                        "JAX_NUM_PROCESSES / JAX_PROCESS_ID); each "
+                        "process profiles only the scaffolds it owns, "
+                        "tables allgather over DCN before assembly")
 
     # ---- compare ----
     p = sub.add_parser("compare")
@@ -233,6 +240,21 @@ def main(argv=None):
     from .store.profile_dir import ProfileDir
 
     if op == "profile":
+        if getattr(args, "distributed", False):
+            # multi-host: federate before the backend initializes. With
+            # no env overrides jax auto-detects managed clusters; for
+            # manual launches the three JAX_* vars mirror
+            # jax.distributed.initialize's arguments.
+            if "JAX_NUM_PROCESSES" in os.environ:
+                from .parallel.distributed import init_distributed
+                init_distributed(
+                    coordinator_address=os.environ.get(
+                        "JAX_COORDINATOR_ADDRESS"),
+                    num_processes=int(os.environ["JAX_NUM_PROCESSES"]),
+                    process_id=int(os.environ["JAX_PROCESS_ID"]))
+            else:  # managed cluster (SLURM / TPU pod): auto-detect
+                import jax
+                jax.distributed.initialize()
         from .profile.pipeline import profile
         output = args.output
         if output == "inStrain":

@@ -130,6 +130,26 @@ def _profile_impl(bam_path: str, fasta_path: str, cfg: ProfileConfig,
                                        pairs.mean_pair_length, cfg)
     keep.sort(key=lambda n: s2p.get(n, 0), reverse=True)
 
+    # multi-host (DCN): each process profiles only the scaffolds it owns
+    # under the canonical greedy assignment, then per-scaffold payloads
+    # allgather before table assembly (reference analogue: the whole
+    # process-pool runtime, SURVEY §2.16 / profile_controller.py:243-271).
+    # Read filtering above ran identically on every host (it is global:
+    # the insert-size median spans all scaffolds), so the assignment and
+    # every downstream table are deterministic across hosts.
+    import jax
+    multi_host = jax.process_count() > 1
+    if multi_host:
+        from ..parallel.distributed import my_scaffolds
+        keep_local = my_scaffolds({n: s2p.get(n, 0) for n in keep})
+        keep_local = [n for n in keep if n in set(keep_local)]
+        logging.info(
+            f"multi-host: process {jax.process_index()} of "
+            f"{jax.process_count()} owns {len(keep_local)} of "
+            f"{len(keep)} scaffolds")
+    else:
+        keep_local = keep
+
     null_lut, freq_lut = make_luts(cfg.variant)
 
     gene_data = None
@@ -149,23 +169,24 @@ def _profile_impl(bam_path: str, fasta_path: str, cfg: ProfileConfig,
                      f"devices")
     engine = cfg.engine
     if engine == "auto":
-        import jax
         if mesh is None and jax.default_backend() == "cpu":
             engine = "dense"
         else:
             # many small scaffolds amortize much better through the
             # vmapped batch kernel (one launch per shape bucket)
-            engine = "batch" if len(keep) >= 16 else "hybrid"
-    if engine == "batch" and len(keep) > 1:
-        results = _profile_scaffolds_batched(bam, pairs, registry, keep,
-                                             cfg, null_lut, freq_lut,
-                                             gene_data, mesh=mesh)
+            engine = "batch" if len(keep_local) >= 16 else "hybrid"
+    if engine == "batch" and len(keep_local) > 1:
+        results = _profile_scaffolds_batched(bam, pairs, registry,
+                                             keep_local, cfg, null_lut,
+                                             freq_lut, gene_data,
+                                             mesh=mesh)
     else:
         if engine == "batch":
             engine = "hybrid"
         cfg_engine, cfg.engine = cfg.engine, engine
         from tqdm import tqdm
-        for name in tqdm(keep, desc="Profiling splits", disable=None):
+        for name in tqdm(keep_local, desc="Profiling splits",
+                         disable=None):
             logging.debug(get_worker_log("SplitProfile", name, "start"))
             res = _profile_one_scaffold(bam, pairs, registry, name, cfg,
                                         null_lut, freq_lut, gene_data,
@@ -175,7 +196,17 @@ def _profile_impl(bam_path: str, fasta_path: str, cfg: ProfileConfig,
                 results.append(res)
         cfg.engine = cfg_engine
 
-    _store_results(isdir, results, bam_path, cfg, gene_data)
+    finals = [_finalize_result(r, cfg) for r in results]
+    if multi_host:
+        from ..parallel.distributed import allgather_tables
+        log_checkpoint("main_profile", "allgather_results", "start")
+        finals = allgather_tables(finals)
+        # canonical single-process order (keep is sorted identically on
+        # every host), so multi-host output is byte-identical to 1-proc
+        order = {n: i for i, n in enumerate(keep)}
+        finals.sort(key=lambda r: order.get(r["name"], len(order)))
+        log_checkpoint("main_profile", "allgather_results", "end")
+    _store_results(isdir, finals, bam_path, cfg, gene_data)
     log_checkpoint("main_profile", "profile_scaffolds", "end")
 
     # outputs (reference: controller.py:352-360)
@@ -402,67 +433,88 @@ def _profile_scaffolds_batched(bam, pairs, registry, keep, cfg, null_lut,
     return results
 
 
-def _store_results(isdir: ProfileDir, results, bam_path, cfg, gene_data):
+def _finalize_result(r: ScaffoldProfileResult, cfg) -> Dict:
+    """Convert a ScaffoldProfileResult into a plain serializable payload
+    (tables + host-materialized covT/clonT views + linkage capture). This
+    is the unit that crosses hosts under multi-process execution — the
+    stats object itself holds zero-copy views into native decoder memory
+    and never leaves its process (reference analogue: the pickled
+    SplitObjects crossing the worker queues, profile_utilities.py:823-858).
+    """
+    out = dict(
+        name=r.name, length=r.length,
+        snp_table=r.snp_table,
+        cumulative_snv_table=r.cumulative_snv_table,
+        cumulative_scaffold_table=r.cumulative_scaffold_table,
+        linkage_table=r.linkage_table,
+        gene_results=r.gene_results,
+        covT=tables.covT_view(r.stats),
+        clonT=tables.clonT_view(r.stats),
+        clonTR=tables.clonT_view(r.stats, rarefied=True),
+        reads_to_snvs=_reads_to_snvs(r.stats),
+    )
+    if cfg.store_everything:
+        out["counts_sum"] = r.stats.pileup.counts_exact.sum(axis=0).T
+    return out
+
+
+def _store_results(isdir: ProfileDir, finals: List[Dict], bam_path, cfg,
+                   gene_data):
     """reference: profile_utilities.gen_snv_profile (614-717)."""
     def cat(dfs):
         dfs = [d for d in dfs if d is not None and len(d)]
         return (pd.concat(dfs).reset_index(drop=True) if dfs
                 else pd.DataFrame())
 
-    isdir.store("scaffold_list", [r.name for r in results], "list",
+    isdir.store("scaffold_list", [r["name"] for r in finals], "list",
                 "1d list of scaffolds that were profiled")
     mi = isdir.get("mapping_info")
     s2fp = mi.set_index("scaffold")["filtered_pairs"].to_dict()
     isdir.store("window_table", pd.DataFrame(
-        {"scaffold": [r.name for r in results],
-         "end": [r.length for r in results],
-         "start": [0] * len(results),
-         "filtered_pairs": [s2fp.get(r.name, 0) for r in results]}),
+        {"scaffold": [r["name"] for r in finals],
+         "end": [r["length"] for r in finals],
+         "start": [0] * len(finals),
+         "filtered_pairs": [s2fp.get(r["name"], 0) for r in finals]}),
         "pandas", "Windows profiled over")
-    isdir.store("raw_linkage_table", cat([r.linkage_table for r in results]),
+    isdir.store("raw_linkage_table",
+                cat([r["linkage_table"] for r in finals]),
                 "pandas", "Raw table of linkage information")
-    raw_snp = cat([r.snp_table for r in results])
+    raw_snp = cat([r["snp_table"] for r in finals])
     isdir.store("raw_snp_table",
                 raw_snp.drop(columns=[c for c in ("var_freq", "con_freq",
                                                   "ref_freq")
                                       if c in raw_snp.columns]),
                 "pandas", "Contains raw SNP information on a mm level")
     isdir.store("cumulative_scaffold_table",
-                cat([r.cumulative_scaffold_table for r in results]),
+                cat([r["cumulative_scaffold_table"] for r in finals]),
                 "pandas", "Cumulative coverage on mm level")
     isdir.store("cumulative_snv_table",
-                cat([r.cumulative_snv_table for r in results]),
+                cat([r["cumulative_snv_table"] for r in finals]),
                 "pandas", "Cumulative SNP on mm level")
 
-    covT = {r.name: tables.covT_view(r.stats) for r in results}
-    clonT = {r.name: tables.clonT_view(r.stats) for r in results}
-    clonTR = {r.name: tables.clonT_view(r.stats, rarefied=True)
-              for r in results}
-    isdir.store("covT", covT, "special",
+    isdir.store("covT", {r["name"]: r["covT"] for r in finals}, "special",
                 "Scaffold -> mm -> position based coverage")
-    isdir.store("clonT", clonT, "special",
-                "Scaffold -> mm -> position based clonality")
-    isdir.store("clonTR", clonTR, "special",
+    isdir.store("clonT", {r["name"]: r["clonT"] for r in finals},
+                "special", "Scaffold -> mm -> position based clonality")
+    isdir.store("clonTR", {r["name"]: r["clonTR"] for r in finals},
+                "special",
                 "Scaffold -> mm -> rarefied position based clonality")
 
     if cfg.store_everything:
         # per-scaffold summed ACTG pileup counts (reference: counts_table,
         # gen_snv_profile 709-715 — [L, 4] per scaffold)
-        counts_table = [r.stats.pileup.counts_exact.sum(axis=0).T
-                        for r in results]
-        isdir.store("counts_table", counts_table, "pickle",
+        isdir.store("counts_table", [r["counts_sum"] for r in finals],
+                    "pickle",
                     "1d numpy array of 2D counts tables for each scaffold")
         # reference also persists the linkage capture inputs per scaffold
         # when store_everything (gen_snv_profile 697-707)
         isdir.store("read_to_snvs",
-                    {r.name: _reads_to_snvs(r.stats) for r in results},
+                    {r["name"]: r["reads_to_snvs"] for r in finals},
                     "pickle", "Scaffold -> mm -> read -> SNVs")
 
     # linkage capture structure (reference stores it for pooling/debug)
-    s2m2r2s = {}
-    for r in results:
-        s2m2r2s[r.name] = _reads_to_snvs(r.stats)
-    isdir.store("scaffold_2_mm_2_read_2_snvs", s2m2r2s, "pickle",
+    isdir.store("scaffold_2_mm_2_read_2_snvs",
+                {r["name"]: r["reads_to_snvs"] for r in finals}, "pickle",
                 "scaffold -> mm -> read -> SNVs (linkage capture)")
 
     if gene_data is not None:
@@ -477,8 +529,8 @@ def _store_results(isdir: ProfileDir, results, bam_path, cfg, gene_data):
                  2: "SNP density and counts of individual genes",
                  3: "The mutation types of SNPs"}
         for i, attr in per_name.items():
-            isdir.store(attr, cat([r.gene_results[i] for r in results
-                                   if r.gene_results is not None]),
+            isdir.store(attr, cat([r["gene_results"][i] for r in finals
+                                   if r["gene_results"] is not None]),
                         "pandas", descr[i])
 
 

@@ -165,7 +165,8 @@ def test_cli_surface_matches_reference():
     ref = surface(captured["parser"])
     ours = surface(cli.build_parser())
     assert set(ref) <= set(ours), set(ref) - set(ours)
-    allowed_extra = {"--engine", "--null_model", "--mesh_devices"}
+    allowed_extra = {"--engine", "--null_model", "--mesh_devices",
+                     "--distributed"}
     for name in ref:
         missing = ref[name] - ours[name]
         assert not missing, (name, missing)
