@@ -109,55 +109,82 @@ def plot_coverage_breadth_vs_mm(isdir: ProfileDir, **kwargs):
 
 # 2 ---------------------------------------------------------------------
 
-def plot_genome_wide_microdiversity(isdir: ProfileDir, **kwargs):
-    """Windowed coverage / nucleotide diversity / SNV density
-    (positional_plots.py)."""
+_METRIC_ORDER = ["linkage", "snp_density", "coverage", "nucl_diversity"]
+
+
+def _genome_pages(isdir: ProfileDir, **kwargs):
+    """Yield (genome, Wdb, breaks, midpoints) per plottable genome
+    (reference: positional_plots.py:21-68 — one PDF page per genome,
+    windowed metrics over its scaffolds, longest first)."""
+    from collections import defaultdict
+    from .windowed import load_windowed_metrics
+    s2b = _genome_of(isdir)
+    b2s = defaultdict(list)
+    for s, b in s2b.items():
+        b2s[b].append(s)
     covT = isdir.get("covT")
-    snvs = gen.nonredundant_snv_table(isdir)
+    clonT = isdir.get("clonT")
+    ldb = isdir.get("raw_linkage_table")
+    sdb = isdir.get("cumulative_snv_table")
     s2l = isdir.get("scaffold2length")
+    rl = isdir.get_read_length()
     allowed = _allowed_scaffolds(isdir, **kwargs)
-    if allowed is not None:
-        covT = {s: v for s, v in covT.items() if s in allowed}
-    fig, axes = plt.subplots(3, 1, figsize=(10, 7), sharex=True)
-    offset = 0
-    window = 1000
-    for scaff, mm2cov in covT.items():
-        L = int(s2l[scaff])
-        cov = np.zeros(L)
-        for mm, series in mm2cov.items():
-            cov[series.index.values] += series.values
-        nwin = max(L // window, 1)
-        starts = np.arange(nwin) * window
-        wcov = [cov[s:s + window].mean() for s in starts]
-        axes[0].plot(offset + starts, wcov, lw=0.7)
-        if snvs is not None and len(snvs):
-            sdb = snvs[snvs["scaffold"] == scaff]
-            dens = np.histogram(sdb["position"], bins=nwin,
-                                range=(0, nwin * window))[0] / window
-            axes[1].plot(offset + starts, dens, lw=0.7)
-        offset += L
-    clon = isdir.get("clonT")
-    if allowed is not None:
-        clon = {s: v for s, v in clon.items() if s in allowed}
-    offset = 0
-    for scaff, mm2c in clon.items():
-        L = int(s2l[scaff])
-        vals = pd.Series(dtype=float)
-        for mm in sorted(mm2c):
-            vals = mm2c[mm].combine_first(vals)
-        if len(vals):
-            nwin = max(L // window, 1)
-            micro = 1 - vals
-            w = micro.groupby(micro.index // window).mean()
-            axes[2].plot(offset + w.index.values * window, w.values, lw=0.7)
-        offset += L
-    axes[0].set_ylabel("coverage")
-    axes[1].set_ylabel("SNV density")
-    axes[2].set_ylabel("nucl diversity")
-    axes[2].set_xlabel("genome position")
-    plt.tight_layout()
-    plt.savefig(_figpath(isdir, "genomeWide_microdiveristy_metrics.pdf"))
-    plt.close(fig)
+    for genome, scaffolds in b2s.items():
+        present = [s for s in scaffolds if s in s2l]
+        if allowed is not None:
+            present = [s for s in present if s in allowed]
+        if not present:
+            continue
+        Wdb, breaks, midpoints = load_windowed_metrics(
+            present, s2l, rl, covTs=covT, clonTs=clonT,
+            raw_linkage_table=ldb, cumulative_snv_table=sdb)
+        if len(Wdb) == 0 or Wdb["value"].notna().sum() == 0:
+            continue
+        yield genome, Wdb, breaks, midpoints
+
+
+def _save_pages(figs, path):
+    from matplotlib.backends.backend_pdf import PdfPages
+    if not figs:
+        raise ValueError("no genome had windowed metrics to plot")
+    with PdfPages(path) as pp:
+        for fig in figs:
+            pp.savefig(fig)
+            plt.close(fig)
+
+
+def plot_genome_wide_microdiversity(isdir: ProfileDir, **kwargs):
+    """Per-genome windowed linkage / SNV density / coverage / diversity,
+    one page per genome, two read-ANI levels per panel
+    (positional_plots.py:21-83, 140-183)."""
+    figs = []
+    for genome, Wdb, breaks, _mid in _genome_pages(isdir, **kwargs):
+        present = [m for m in _METRIC_ORDER
+                   if m in set(Wdb["metric"])]
+        fig, axes = plt.subplots(len(present), 1, sharex=True,
+                                 squeeze=False, figsize=(8, 5))
+        colors = ["red", "blue", "black"]
+        for i, metric in enumerate(present):
+            ax = axes[i][0]
+            wdb = Wdb[Wdb["metric"] == metric]
+            for c, (ani, ddb) in enumerate(wdb.groupby("ANI")):
+                ax.plot(ddb["midpoint"], ddb["value"],
+                        c=colors[c % 3], label=ani, marker="o", ms=1)
+            ax.set_title(str(metric))
+            ax.grid(False)
+            if i == 0:
+                ax.legend(loc="upper left", title="Min read ANI (%)",
+                          fontsize=7)
+            for b in breaks:
+                ax.axvline(b, ls="-", c="lightgrey", zorder=-1)
+        axes[-1][0].set_xlabel("genome position")
+        axes[-1][0].set_xlim(0, float(Wdb["midpoint"].max()))
+        fig.suptitle(str(genome), y=0.999)
+        fig.subplots_adjust(hspace=0.3)
+        fig.tight_layout()
+        figs.append(fig)
+    _save_pages(figs, _figpath(isdir,
+                               "genomeWide_microdiveristy_metrics.pdf"))
 
 
 # 3 ---------------------------------------------------------------------
@@ -253,31 +280,41 @@ def plot_read_filtering(isdir: ProfileDir, **kwargs):
 # 7 ---------------------------------------------------------------------
 
 def plot_scaffold_inspection(isdir: ProfileDir, **kwargs):
-    """Per-scaffold windowed metrics, tall layout (positional_plots.py)."""
-    covT = isdir.get("covT")
-    s2l = isdir.get("scaffold2length")
-    allowed = _allowed_scaffolds(isdir, **kwargs)
-    scaffs = [s for s in covT
-              if allowed is None or s in allowed]
-    if not scaffs:
-        raise ValueError("no coverage")
-    fig, axes = plt.subplots(max(len(scaffs), 1), 1,
-                             figsize=(8, max(2 * len(scaffs), 2)),
-                             squeeze=False)
-    window = 1000
-    for i, scaff in enumerate(scaffs):
-        L = int(s2l[scaff])
-        cov = np.zeros(L)
-        for mm, series in covT[scaff].items():
-            cov[series.index.values] += series.values
-        nwin = max(L // window, 1)
-        starts = np.arange(nwin) * window
-        axes[i][0].plot(starts, [cov[s:s + window].mean() for s in starts],
-                        lw=0.8)
-        axes[i][0].set_ylabel(scaff[:25], fontsize=6)
-    plt.tight_layout()
-    plt.savefig(_figpath(isdir, "ScaffoldInspection_plot.pdf"))
-    plt.close(fig)
+    """Per-genome scaffold inspection: the same four windowed metrics as
+    plot 2 rotated sideways — genome position on y (inverted), one column
+    per metric, scaffold names as y-ticks at their midpoints, page height
+    scaled to genome length (positional_plots.py:85-138, 510-569)."""
+    figs = []
+    for genome, Wdb, breaks, midpoints in _genome_pages(isdir, **kwargs):
+        present = [m for m in _METRIC_ORDER
+                   if m in set(Wdb["metric"])]
+        ymax = float(Wdb["midpoint"].max())
+        # reference utilities._calc_ylim:49-50
+        height = min(max(5.0, ymax / 5000.0), 100.0)
+        fig, axes = plt.subplots(1, len(present), sharey=True,
+                                 squeeze=False, figsize=(8, height))
+        colors = ["red", "blue", "black"]
+        for i, metric in enumerate(present):
+            ax = axes[0][i]
+            wdb = Wdb[Wdb["metric"] == metric]
+            for c, (ani, ddb) in enumerate(wdb.groupby("ANI")):
+                ax.plot(ddb["value"], ddb["midpoint"],
+                        c=colors[c % 3], label=ani, marker="o", ms=5)
+            ax.set_title(str(metric))
+            ax.yaxis.grid(False)
+            if i == 0:
+                ax.legend(loc="upper left", title="Min read ANI (%)",
+                          fontsize=7)
+            for b in breaks:
+                ax.axhline(b, ls="-", c="lightgrey", zorder=-1)
+        axes[0][0].set_yticks(list(midpoints.values()))
+        axes[0][0].set_yticklabels(list(midpoints.keys()), fontsize=2)
+        axes[0][0].set_ylim(ymax, 0)
+        fig.suptitle(str(genome), y=0.999)
+        fig.subplots_adjust(hspace=0.3)
+        fig.tight_layout()
+        figs.append(fig)
+    _save_pages(figs, _figpath(isdir, "ScaffoldInspection_plot.pdf"))
 
 
 # 8 ---------------------------------------------------------------------
@@ -345,41 +382,101 @@ def plot_gene_histograms(isdir: ProfileDir, **kwargs):
 
 # 10 --------------------------------------------------------------------
 
+def _shorten_sample(name: str) -> str:
+    """reference: plotting/utilities.py:52-58 _shorten_name."""
+    name = str(name).replace(".sorted.bam", "")
+    if "-vs-" in name:
+        name = name.split("-vs-")[1]
+    if len(name) > 15:
+        name = "\n".join(name[n:n + 15] for n in range(0, len(name), 15))
+    return name
+
+
+def _symmetric_matrix(gdb: pd.DataFrame, col: str) -> pd.DataFrame:
+    """Square sample-by-sample similarity matrix from directed rows:
+    cell = nanmean of the two directions, diagonal = 1
+    (reference: compare_plots.py:120-154 add_av_RC)."""
+    samples = sorted(set(gdb["name1"]) | set(gdb["name2"]))
+    m = pd.DataFrame(np.nan, index=samples, columns=samples, dtype=float)
+    for n1, n2, v in zip(gdb["name1"], gdb["name2"], gdb[col]):
+        m.loc[n1, n2] = v
+    arr = m.values
+    with np.errstate(invalid="ignore"):
+        sym = np.nanmean(np.stack([arr, arr.T]), axis=0)
+    np.fill_diagonal(sym, 1.0)
+    return pd.DataFrame(sym, index=samples, columns=samples)
+
+
 def plot_compare_dendrograms(isdir: ProfileDir, **kwargs):
-    """popANI/conANI dendrograms from a compare profile
-    (compare_plots.py)."""
+    """Per-genome page with two right-oriented dendrograms — popANI and
+    shared-genome coverage — labels colored by ANI cluster, x ticks
+    relabeled as percent identity (compare_plots.py:27-119)."""
     import scipy.cluster.hierarchy as sch
     import scipy.spatial.distance as ssd
-    db = isdir.get("genomeWide_compare")
-    if db is None:
-        # compute genome-wide compare table on the fly
-        ct = gen.nonredundant_rc_table(isdir)
-        if ct is None or len(ct) == 0:
-            raise ValueError("needs a compare profile")
-        s2b = _genome_of(isdir)
-        from ..profile.genome import genome_wide_readcomparer
-        ct = ct.copy()
+    ct = isdir.get("comparisonsTable")
+    if ct is None or len(ct) == 0:
+        raise ValueError("needs a compare profile")
+    s2b = _genome_of(isdir)
+    from ..profile.genome import genome_wide_readcomparer
+    ct = ct.copy()
+    if "mm" not in ct.columns:
         ct["mm"] = 0
-        ct["genome"] = ct["scaffold"].map(s2b)
-        b2l = isdir.get("bin2length")
-        db = genome_wide_readcomparer(ct, s2b, b2l, mm_level=False)
-    names = sorted(set(db["name1"]) | set(db["name2"]))
-    genomes = db["genome"].unique()
-    fig, axes = plt.subplots(len(genomes), 1,
-                             figsize=(6, 3 * len(genomes)), squeeze=False)
-    for gi, genome in enumerate(genomes):
-        gdb = db[db["genome"] == genome]
-        n = len(names)
-        dist = np.zeros((n, n))
-        for _, row in gdb.iterrows():
-            i, j = names.index(row["name1"]), names.index(row["name2"])
-            d = 1 - (row["popANI"] if row["popANI"] == row["popANI"] else 0)
-            dist[i, j] = dist[j, i] = d
-        if n > 1:
-            linkage = sch.linkage(ssd.squareform(dist, checks=False),
-                                  "average")
-            sch.dendrogram(linkage, labels=names, ax=axes[gi][0])
-        axes[gi][0].set_title(str(genome), fontsize=8)
-    plt.tight_layout()
-    plt.savefig(_figpath(isdir, "inStrainCompare_dendrograms.pdf"))
-    plt.close(fig)
+    ct["genome"] = ct["scaffold"].map(s2b)
+    b2l = isdir.get("bin2length")
+    db = genome_wide_readcomparer(ct, s2b, b2l, mm_level=False)
+    db["name1"] = [_shorten_sample(x) for x in db["name1"]]
+    db["name2"] = [_shorten_sample(x) for x in db["name2"]]
+    db = db.sort_values(["genome", "name1", "name2"])
+    if len(db) == 0:
+        raise ValueError("empty genome-wide compare table")
+
+    figs = []
+    for genome, gdb in db.groupby("genome"):
+        # skip genomes with zero-overlap comparisons
+        # (reference: compare_utils.py:257-268 evalute_genome_dist_matrix)
+        if (gdb["compared_bases_count"] == 0).any():
+            logging.error(
+                f"Cannot cluster genome {genome}; comparisons with no "
+                "genomic overlap")
+            continue
+        panels = [("popANI", "Average Nucleotide Identity (ANI)"),
+                  ("coverage_overlap", "Shared Genome Coverage (%)")]
+        fig, axes = plt.subplots(1, 2, gridspec_kw={"wspace": 0.5})
+        name2color = None
+        for ax, (col, xlabel) in zip(axes, panels):
+            m = _symmetric_matrix(gdb, col)
+            names = list(m.columns)
+            dist = 1.0 - m.values
+            np.fill_diagonal(dist, 0.0)
+            condensed = ssd.squareform(dist, checks=False)
+            linkage = sch.linkage(condensed, method="average")
+            if col == "popANI":
+                # color labels by 0.1%-ANI cluster (compare_plots.py:94-101)
+                fclust = sch.fcluster(linkage, 0.001,
+                                      criterion="distance")
+                nclust = max(fclust)
+                cmap = plt.get_cmap("jet")
+                name2color = {n: cmap(int(c) / max(nclust, 1))
+                              for n, c in zip(names, fclust)}
+            plt.sca(ax)
+            sch.dendrogram(linkage, labels=names, orientation="right")
+            for lbl in ax.get_ymajorticklabels():
+                if name2color:
+                    lbl.set_color(name2color.get(lbl.get_text(), "black"))
+            ax.set_xlabel(xlabel)
+            ax.set_title(str(genome), fontsize=10)
+            ax.tick_params(axis="x", which="major", labelsize=8)
+            ax.tick_params(axis="y", which="major", labelsize=12)
+            ax.yaxis.grid(False)
+            # relabel distances as percent identity/overlap
+            # (compare_plots.py:110-118)
+            locs = ax.xaxis.get_majorticklocs()
+            ax.set_xticks(locs)
+            ax.set_xticklabels([round((1 - float(x)) * 100, 3)
+                                for x in locs])
+        n = len(set(gdb["name1"]) | set(gdb["name2"]))
+        # reference utilities._x_fig_size(n, factor=.5)
+        fig.set_size_inches(20, max(n * 0.5, 8))
+        fig.subplots_adjust(left=0.5)
+        figs.append(fig)
+    _save_pages(figs, _figpath(isdir, "inStrainCompare_dendrograms.pdf"))
