@@ -17,57 +17,105 @@ from .config import CompareConfig, ProfileConfig
 
 
 def build_parser() -> argparse.ArgumentParser:
-    parser = argparse.ArgumentParser(prog="instrain_tpu")
+    parser = argparse.ArgumentParser(
+        prog="instrain_tpu",
+        description="TPU-native strain-level metagenome profiling "
+                    "(capability-matched to inStrain)")
     sub = parser.add_subparsers(dest="operation")
 
     def add_system(p):
         g = p.add_argument_group("SYSTEM PARAMETERS")
-        g.add_argument("-p", "--processes", default=6, type=int)
-        g.add_argument("-d", "--debug", action="store_true", default=False)
+        g.add_argument("-p", "--processes", default=6, type=int,
+                       help="host threads for the native BAM decoder")
+        g.add_argument("-d", "--debug", action="store_true", default=False,
+                       help="keep intermediates and write a runtime/"
+                            "failure summary at shutdown")
         g.add_argument("--version", action="version",
                        version=f"instrain_tpu version {__version__}")
 
     def add_readfilter(p):
         g = p.add_argument_group("READ FILTERING OPTIONS")
-        g.add_argument("-l", "--min_read_ani", default=0.95, type=float)
-        g.add_argument("--min_mapq", default=-1, type=int)
-        g.add_argument("--max_insert_relative", default=3, type=float)
-        g.add_argument("--min_insert", default=50, type=int)
+        g.add_argument("-l", "--min_read_ani", default=0.95, type=float,
+                       help="minimum read-pair identity (1 - NM/length, "
+                            "strictly greater) for a pair to count")
+        g.add_argument("--min_mapq", default=-1, type=int,
+                       help="minimum mapQ of the better mate (strictly "
+                            "greater)")
+        g.add_argument("--max_insert_relative", default=3, type=float,
+                       help="max insert size as a multiple of the median "
+                            "insert across all pairs")
+        g.add_argument("--min_insert", default=50, type=int,
+                       help="minimum insert size; 50 means the mates "
+                            "overlap completely at 50 bp reads")
         g.add_argument("--pairing_filter", default="paired_only",
                        choices=["paired_only", "non_discordant",
-                                "all_reads"])
-        g.add_argument("--priority_reads", default=None)
-        g.add_argument("--maximum_reads", default=None, type=int)
+                                "all_reads"],
+                       help="which reads enter profiling: proper pairs "
+                            "only / pairs + lone same-scaffold mates / "
+                            "every read (mates merged)")
+        g.add_argument("--priority_reads", default=None,
+                       help="fastq(.gz) or list of read names exempt from "
+                            "the pairing filter")
+        g.add_argument("--maximum_reads", default=None, type=int,
+                       help="deterministic template-level subsample to "
+                            "about this many records before profiling")
         g.add_argument("--detailed_mapping_info", action="store_true",
-                       default=False)
+                       default=False,
+                       help="also store a per-read filter report")
 
     def add_variant(p):
         g = p.add_argument_group("VARIANT CALLING OPTIONS")
-        g.add_argument("-c", "--min_cov", default=5, type=int)
-        g.add_argument("-f", "--min_freq", default=0.05, type=float)
-        g.add_argument("-fdr", "--fdr", default=1e-6, type=float)
+        g.add_argument("-c", "--min_cov", default=5, type=int,
+                       help="minimum coverage for a position to be "
+                            "variant-callable")
+        g.add_argument("-f", "--min_freq", default=0.05, type=float,
+                       help="minimum allele frequency for a base to be "
+                            "'present'")
+        g.add_argument("-fdr", "--fdr", default=1e-6, type=float,
+                       help="null-model false discovery rate for "
+                            "separating variants from sequencing error")
         g.add_argument("--null_model", default="analytic",
                        help="'analytic' (exact binomial) or the path to an "
                             "inStrain-format NullModel.txt")
 
     def add_genes(p):
-        p.add_argument("-g", "--gene_file", default=None)
+        p.add_argument("-g", "--gene_file", default=None,
+                       help="prodigal .fna / GenBank file of genes to "
+                            "profile (coverage, diversity, dN/dS, pN/pS)")
 
     def add_stb(p):
-        p.add_argument("-s", "--stb", nargs="*", default=[])
+        p.add_argument("-s", "--stb", nargs="*", default=[],
+                       help="scaffold-to-bin file(s) (tsv) or genome "
+                            "fastas; default treats all scaffolds as one "
+                            "genome")
 
     def add_mm(p):
-        p.add_argument("--mm_level", action="store_true", default=False)
+        p.add_argument("--mm_level", action="store_true", default=False,
+                       help="emit output tables at every mismatch level "
+                            "instead of the non-redundant view")
         p.add_argument("--skip_mm_profiling", action="store_true",
-                       default=False)
+                       default=False,
+                       help="collapse the read-mismatch axis (all reads "
+                            "count at level 0; less RAM/time)")
 
     # ---- profile ----
-    p = sub.add_parser("profile")
-    p.add_argument("bam")
-    p.add_argument("fasta")
-    p.add_argument("-o", "--output", default="inStrain")
-    p.add_argument("--use_full_fasta_header", action="store_true")
-    p.add_argument("--force_compress", action="store_true")
+    p = sub.add_parser(
+        "profile",
+        help="BAM + FASTA -> strain profile (SNVs, linkage, genes, "
+             "genome metrics)",
+        description="Run the full profile pipeline: read filtering -> "
+                    "pileup/SNV/linkage kernels -> gene profiling -> "
+                    "genome-wide aggregation -> plots.")
+    p.add_argument("bam", help="sorted (or auto-sorted) BAM/SAM mapping")
+    p.add_argument("fasta", help="FASTA the reads were mapped to")
+    p.add_argument("-o", "--output", default="inStrain",
+                   help="output profile directory (default: fasta "
+                        "basename)")
+    p.add_argument("--use_full_fasta_header", action="store_true",
+                   help="key scaffolds by the whole FASTA header line, "
+                        "not the first word")
+    p.add_argument("--force_compress", action="store_true",
+                   help="gzip all output tables")
     add_system(p)
     add_readfilter(p)
     add_variant(p)
@@ -75,16 +123,31 @@ def build_parser() -> argparse.ArgumentParser:
     add_stb(p)
     add_mm(p)
     g = p.add_argument_group("PROFILE OPTIONS")
-    g.add_argument("--database_mode", action="store_true")
-    g.add_argument("--min_scaffold_reads", default=1, type=int)
-    g.add_argument("--min_genome_coverage", default=0, type=float)
-    g.add_argument("--min_snp", default=20, type=int)
-    g.add_argument("--store_everything", action="store_true")
-    g.add_argument("--scaffolds_to_profile", default=None)
-    g.add_argument("--rarefied_coverage", default=50, type=int)
-    g.add_argument("--window_length", default=10000, type=int)
-    g.add_argument("--skip_genome_wide", action="store_true")
-    g.add_argument("--skip_plot_generation", action="store_true")
+    g.add_argument("--database_mode", action="store_true",
+                   help="preset for huge references: min_read_ani 0.92, "
+                        "skip_mm_profiling, min_genome_coverage 1")
+    g.add_argument("--min_scaffold_reads", default=1, type=int,
+                   help="minimum mapped pairs for a scaffold to be "
+                        "profiled")
+    g.add_argument("--min_genome_coverage", default=0, type=float,
+                   help="skip genomes below this estimated coverage "
+                        "(needs -s)")
+    g.add_argument("--min_snp", default=20, type=int,
+                   help="minimum connecting read pairs to compute linkage "
+                        "for an SNV pair")
+    g.add_argument("--store_everything", action="store_true",
+                   help="also store raw pileup counts and linkage capture")
+    g.add_argument("--scaffolds_to_profile", default=None,
+                   help="file listing the only scaffolds to profile")
+    g.add_argument("--rarefied_coverage", default=50, type=int,
+                   help="subsample depth for rarefied nucleotide "
+                        "diversity")
+    g.add_argument("--window_length", default=10000, type=int,
+                   help="genome window size for linkage and plots")
+    g.add_argument("--skip_genome_wide", action="store_true",
+                   help="do not aggregate to genome_info at the end")
+    g.add_argument("--skip_plot_generation", action="store_true",
+                   help="do not draw the figures")
     g.add_argument("--engine", default="auto",
                    choices=["auto", "dense", "hybrid", "batch", "pallas"],
                    help="kernel path: dense (host arrays, chunked), "
@@ -105,51 +168,99 @@ def build_parser() -> argparse.ArgumentParser:
                         "tables allgather over DCN before assembly")
 
     # ---- compare ----
-    p = sub.add_parser("compare")
-    p.add_argument("-i", "--input", nargs="*", required=True)
-    p.add_argument("-o", "--output", default="instrainComparer")
+    p = sub.add_parser(
+        "compare",
+        help="compare >=2 profiles mapped to the same FASTA "
+             "(popANI/conANI, clustering, pooling)",
+        description="Pairwise scaffold comparisons between profiles: "
+                    "coverage overlap, conANI/popANI per mm level, "
+                    "genome rollup, strain clustering, SNV pooling.")
+    p.add_argument("-i", "--input", nargs="*", required=True,
+                   help="two or more profile directories (same FASTA)")
+    p.add_argument("-o", "--output", default="instrainComparer",
+                   help="output comparison directory")
     add_system(p)
     add_stb(p)
     add_variant(p)
     g = p.add_argument_group("OTHER OPTIONS")
-    g.add_argument("--database_mode", action="store_true")
-    g.add_argument("--breadth", default=0.5, type=float)
-    g.add_argument("-sc", "--scaffolds", default=None)
-    g.add_argument("--genome", default=None)
-    g.add_argument("--store_coverage_overlap", action="store_true")
-    g.add_argument("--store_mismatch_locations", action="store_true")
-    g.add_argument("--include_self_comparisons", action="store_true")
-    g.add_argument("--skip_plot_generation", action="store_true")
-    g.add_argument("--group_length", default=10000000, type=int)
-    g.add_argument("--force_compress", action="store_true")
-    g.add_argument("-ani", "--ani_threshold", default=0.99999, type=float)
-    g.add_argument("-cov", "--coverage_treshold", default=0.1, type=float)
+    g.add_argument("--database_mode", action="store_true",
+                   help="only compare scaffolds of genomes detected "
+                        "(breadth_minCov >= --breadth) in each profile")
+    g.add_argument("--breadth", default=0.5, type=float,
+                   help="genome breadth_minCov needed for database_mode")
+    g.add_argument("-sc", "--scaffolds", default=None,
+                   help="file listing the only scaffolds to compare")
+    g.add_argument("--genome", default=None,
+                   help="only compare scaffolds of this genome (needs -s)")
+    g.add_argument("--store_coverage_overlap", action="store_true",
+                   help="store the per-pair coverage-overlap arrays")
+    g.add_argument("--store_mismatch_locations", action="store_true",
+                   help="store every pairwise SNP location")
+    g.add_argument("--include_self_comparisons", action="store_true",
+                   help="also compare each profile against itself")
+    g.add_argument("--skip_plot_generation", action="store_true",
+                   help="do not draw the dendrogram figure")
+    g.add_argument("--group_length", default=10000000, type=int,
+                   help="genome bp per comparison batch (bounds RAM)")
+    g.add_argument("--force_compress", action="store_true",
+                   help="gzip all output tables")
+    g.add_argument("-ani", "--ani_threshold", default=0.99999, type=float,
+                   help="popANI threshold for strain clustering")
+    g.add_argument("-cov", "--coverage_treshold", default=0.1, type=float,
+                   help="minimum percent_compared for clustering edges")
     g.add_argument("--clusterAlg", default="average",
                    choices=["single", "complete", "average", "weighted",
-                            "centroid", "median", "ward"])
-    g.add_argument("-bams", "--bams", nargs="*", default=[])
-    g.add_argument("--skip_popANI", action="store_true")
+                            "centroid", "median", "ward"],
+                   help="scipy hierarchy linkage method")
+    g.add_argument("-bams", "--bams", nargs="*", default=[],
+                   help="the profiles' BAMs (same order as -i): enables "
+                        "cross-sample SNV pooling")
+    g.add_argument("--skip_popANI", action="store_true",
+                   help="stop after coverage overlap (no SNP comparing)")
 
     # ---- parse_annotations ----
-    p = sub.add_parser("parse_annotations")
-    p.add_argument("-i", "--input", nargs="*", required=True)
-    p.add_argument("-a", "--annotations", nargs="*", required=True)
-    p.add_argument("-o", "--output", default="annotation_output")
+    p = sub.add_parser(
+        "parse_annotations",
+        help="aggregate per-gene annotations across samples",
+        description="Combine gene annotation CSVs (gene,anno) with "
+                    "profiled gene abundances into per-sample annotation "
+                    "tables.")
+    p.add_argument("-i", "--input", nargs="*", required=True,
+                   help="profile directories (with genes profiled)")
+    p.add_argument("-a", "--annotations", nargs="*", required=True,
+                   help="gene annotation CSVs (columns: gene, anno)")
+    p.add_argument("-o", "--output", default="annotation_output",
+                   help="output directory")
     add_system(p)
-    p.add_argument("-b", "--min_genome_breadth", default=0.5, type=float)
-    p.add_argument("-g", "--min_gene_breadth", default=0.8, type=float)
-    p.add_argument("--store_rawdata", action="store_true")
+    p.add_argument("-b", "--min_genome_breadth", default=0.5, type=float,
+                   help="skip genes of genomes below this breadth")
+    p.add_argument("-g", "--min_gene_breadth", default=0.8, type=float,
+                   help="skip genes below this breadth")
+    p.add_argument("--store_rawdata", action="store_true",
+                   help="also pickle the intermediate dataframes")
 
     # ---- profile_genes ----
-    p = sub.add_parser("profile_genes")
-    p.add_argument("-i", "--IS", required=True)
-    p.add_argument("-g", "--gene_file", default=None)
-    p.add_argument("--store_everything", action="store_true")
+    p = sub.add_parser(
+        "profile_genes",
+        help="(re)run gene profiling over an existing profile",
+        description="Load covT/clonT/SNVs from a stored profile and "
+                    "compute per-gene metrics for -g.")
+    p.add_argument("-i", "--IS", required=True,
+                   help="an existing profile directory")
+    p.add_argument("-g", "--gene_file", default=None,
+                   help="prodigal .fna / GenBank genes file")
+    p.add_argument("--store_everything", action="store_true",
+                   help="store extra per-gene intermediates")
     add_system(p)
 
     # ---- genome_wide ----
-    p = sub.add_parser("genome_wide")
-    p.add_argument("-i", "--IS", required=True)
+    p = sub.add_parser(
+        "genome_wide",
+        help="(re)aggregate scaffold metrics to genomes (incl. iRep)",
+        description="Roll scaffold profiles up to genome_info using a "
+                    "scaffold-to-bin mapping.")
+    p.add_argument("-i", "--IS", required=True,
+                   help="an existing profile directory")
     # accepted-but-unused, as in the reference (argumentParser.py:287-298:
     # genome_wide inherits genes_io's --store_everything, which only the
     # profile_genes op reads)
@@ -159,39 +270,70 @@ def build_parser() -> argparse.ArgumentParser:
     add_system(p)
 
     # ---- plot ----
-    p = sub.add_parser("plot")
-    p.add_argument("-i", "--IS", required=True)
-    p.add_argument("-pl", "--plots", nargs="*", default="a")
-    p.add_argument("-mb", "--minimum_breadth", default=0.5, type=float)
-    p.add_argument("-g", "--genomes", nargs="*", default=None)
+    p = sub.add_parser(
+        "plot",
+        help="draw the numbered figures from a profile",
+        description="Generate figures 1-10 (or a subset) as PDFs under "
+                    "<profile>/figures/.")
+    p.add_argument("-i", "--IS", required=True,
+                   help="an existing profile (or compare) directory")
+    p.add_argument("-pl", "--plots", nargs="*", default="a",
+                   help="plot numbers to draw, or 'a' for all")
+    p.add_argument("-mb", "--minimum_breadth", default=0.5, type=float,
+                   help="skip genomes below this breadth")
+    p.add_argument("-g", "--genomes", nargs="*", default=None,
+                   help="only plot these genomes")
     add_system(p)
 
     # ---- quick_profile ----
-    p = sub.add_parser("quick_profile")
-    p.add_argument("bam")
-    p.add_argument("fasta")
+    p = sub.add_parser(
+        "quick_profile",
+        help="fast coverage/breadth screen (no variant calling)",
+        description="Native coverage pass producing per-genome coverage/"
+                    "breadth and scaffold lists (the coverM workflow, "
+                    "without coverM).")
+    p.add_argument("bam", help="sorted BAM mapping")
+    p.add_argument("fasta", help="FASTA the reads were mapped to")
     add_stb(p)
-    p.add_argument("-o", "--output", default="QuickProfile")
-    p.add_argument("--breadth_cutoff", default=0.5, type=float)
-    p.add_argument("--stringent_breadth_cutoff", default=0.0, type=float)
+    p.add_argument("-o", "--output", default="QuickProfile",
+                   help="output directory")
+    p.add_argument("--breadth_cutoff", default=0.5, type=float,
+                   help="genome breadth to be listed in the output")
+    p.add_argument("--stringent_breadth_cutoff", default=0.0, type=float,
+                   help="per-scaffold breadth prefilter (0 = off)")
     add_system(p)
 
     # ---- filter_reads ----
-    p = sub.add_parser("filter_reads")
-    p.add_argument("bam")
-    p.add_argument("fasta")
-    p.add_argument("-o", "--output", default="filter_reads_output")
+    p = sub.add_parser(
+        "filter_reads",
+        help="standalone read-filtering report",
+        description="Run only the read filter and write mapping_info.csv.")
+    p.add_argument("bam", help="sorted BAM mapping")
+    p.add_argument("fasta", help="FASTA the reads were mapped to")
+    p.add_argument("-o", "--output", default="filter_reads_output",
+                   help="output directory")
     add_system(p)
     add_readfilter(p)
 
     # ---- other ----
-    p = sub.add_parser("other")
-    p.add_argument("--old_IS", default=None)
-    p.add_argument("--run_statistics", default=None)
+    p = sub.add_parser(
+        "other",
+        help="utilities: legacy-profile conversion, runtime reports",
+        description="Maintenance utilities over existing outputs.")
+    p.add_argument("--old_IS", default=None,
+                   help="convert a v0.x pickle profile to the current "
+                        "directory format")
+    p.add_argument("--run_statistics", default=None,
+                   help="profile directory or log file: print the "
+                        "runtime/failure report")
     add_system(p)
 
     # ---- check_deps ----
-    sub.add_parser("check_deps")
+    sub.add_parser(
+        "check_deps",
+        help="print dependency/device health",
+        description="Report versions, the native decoder, and visible "
+                    "jax devices.")
 
     return parser
 
