@@ -429,6 +429,24 @@ def pack_counts_u8(counts16: np.ndarray, corr_capacity: int = 1024):
     return out.reshape(c.shape), corr_idx, corr_val
 
 
+def pack_counts_u8_into(counts16: np.ndarray, u8_out: np.ndarray,
+                        corr_idx: np.ndarray, corr_val: np.ndarray) -> int:
+    """Pack ONE int16 count tensor into a preallocated uint8 slice +
+    per-tensor correction rows (within-tensor flat indices). Returns the
+    number of corrections NEEDED (may exceed the row capacity — caller
+    re-packs with wider rows). Lets the batch engine pack straight from
+    each scaffold's native buffer into the [S, ...] stack with no int16
+    stacking copy."""
+    lib = _load_lib()
+    assert counts16.dtype == np.int16 and u8_out.size == counts16.size
+    flat = np.ascontiguousarray(counts16).reshape(-1)
+    return int(lib.bd_pack_counts_u8(
+        flat.ctypes.data_as(ct.POINTER(ct.c_int16)), flat.size,
+        u8_out.ctypes.data_as(ct.POINTER(ct.c_uint8)),
+        corr_idx.ctypes.data_as(ct.POINTER(ct.c_int32)),
+        corr_val.ctypes.data_as(ct.POINTER(ct.c_int32)), len(corr_idx)))
+
+
 def total_cum16(counts16: np.ndarray, n_mm: int) -> np.ndarray:
     """Cumulative coverage total [n_mm, Lp] int32 from an int16 count
     tensor [Mp, 4, Lp] — native host pass (numpy here is

@@ -121,6 +121,31 @@ def _bucket_caps(shape) -> Dict:
                                   "corr": 64})
 
 
+_CPU_DEV = None
+
+
+def _fold_keys(seed: int, rids) -> np.ndarray:
+    """PRNG keys fold_in(PRNGKey(seed), rid) for many rids in ONE vmapped
+    call pinned to the host CPU backend. Threefry is
+    backend-deterministic, so the keys are bit-identical to per-scaffold
+    device fold_in — but with zero accelerator dispatches (each dispatch
+    costs a ~25 ms relay round-trip; the old per-scaffold form was one
+    dispatch per scaffold)."""
+    global _CPU_DEV
+    rids = np.asarray(list(rids), dtype=np.int64)
+    try:
+        if _CPU_DEV is None:
+            _CPU_DEV = jax.local_devices(backend="cpu")[0]
+        with jax.default_device(_CPU_DEV):
+            base = jax.random.PRNGKey(seed)
+            keys = jax.vmap(lambda r: jax.random.fold_in(base, r))(rids)
+            return np.asarray(keys)
+    except Exception:
+        base = jax.random.PRNGKey(seed)
+        return np.stack([np.asarray(jax.random.fold_in(base, int(r)))
+                         for r in rids])
+
+
 def _clonR_from_sparse(sp: Dict, k, M: int, L: int) -> np.ndarray:
     """Reconstruct the dense [M, L] rarefied-clonality array from the
     wire's sparse (pos, vals) slice — NaN everywhere no mm level reached
@@ -304,7 +329,7 @@ def run_site_stats_compact(pileup: ScaffoldPileup, ref_codes: np.ndarray,
     position-sharded over the device mesh.
     """
     counts, ref_codes, M, L = _padded_inputs(pileup, ref_codes)
-    key = jax.random.fold_in(jax.random.PRNGKey(seed), pileup.rid)
+    key = _fold_keys(seed, [pileup.rid])[0]
     if mesh is None:
         out_u8 = _run_compact_u8_contained(
             counts, ref_codes, L, null_lut, freq_lut, key, min_cov,
@@ -347,7 +372,7 @@ def run_site_stats_hybrid(pileup: ScaffoldPileup, ref_codes: np.ndarray,
     dict). With `mesh`, the two-phase path runs position-sharded over the
     device mesh (parallel/mesh.py)."""
     counts, ref_codes, M, L = _padded_inputs(pileup, ref_codes)
-    key = jax.random.fold_in(jax.random.PRNGKey(seed), pileup.rid)
+    key = _fold_keys(seed, [pileup.rid])[0]
     if mesh is None:
         out_u8 = _run_compact_u8_contained(
             counts, ref_codes, L, null_lut, freq_lut, key, min_cov,
@@ -451,30 +476,243 @@ def coverage_table_compact(cs: CompactStats) -> pd.DataFrame:
     return df[active].reset_index(drop=True)
 
 
+def _pack_u8_chunk(part, Mp: int, Lp: int, caps: Dict):
+    """Pack each scaffold's already-padded int16 counts straight into
+    the [S, Mp, 4, Lp] uint8 stack (native per-scaffold pass — no int16
+    stacking copy, no memset) with per-scaffold correction rows
+    (within-scaffold flat indices, so the scatter-add stays shard-local
+    under a mesh). Correction-row capacity is the bucket's speculative
+    "corr" high-water mark, raised and re-packed on overflow — known
+    before launch, so no kernel run is wasted."""
+    from ..io.bam import pack_counts_u8_into
+    S = len(part)
+    u8 = np.empty((S, Mp, 4, Lp), np.uint8)
+
+    def padded16(pu):
+        # native padded-builder pileups pass through zero-copy; ragged
+        # int16 pileups (tests/synthetic) get a per-scaffold padded temp
+        if pu.true_M is not None and pu.counts.shape == (Mp, 4, Lp):
+            return pu.counts
+        ce = pu.counts_exact
+        M, _, L = ce.shape
+        tmp = np.zeros((Mp, 4, Lp), np.int16)
+        tmp[:M, :, :L] = ce
+        return tmp
+
+    while True:
+        C = caps["corr"]
+        ci = np.zeros((S, C), np.int32)
+        cv = np.zeros((S, C), np.int32)
+        need = 0
+        for k, (_i, pu, _rc) in enumerate(part):
+            n = pack_counts_u8_into(padded16(pu), u8[k], ci[k], cv[k])
+            need = max(need, n)
+        if need <= C:
+            return u8, ci, cv
+        caps["corr"] = _pow2_capacity(need, lo=64)
+
+
+def _dispatch_batch_chunk(part, Mp, Lp, use_u8, null_lut, freq_lut,
+                          min_cov, rarefied_coverage, seed, with_dense,
+                          mesh):
+    """Build one chunk's inputs and dispatch its kernel WITHOUT waiting
+    for the result (jax dispatch is asynchronous, so the next chunk's
+    host packing and h2d overlap this chunk's device compute). Returns a
+    pending record for _finish_batch_chunk."""
+    S = len(part)
+    refs = np.full((S, Lp), 4, np.uint8)
+    lens = np.zeros(S, np.int64)
+    for k, (_i, pu, rc) in enumerate(part):
+        refs[k, :pu.length] = rc
+        lens[k] = pu.length
+    keys_arr = _fold_keys(seed, [pu.rid for _i, pu, _rc in part])
+    rec = dict(part=part, Mp=Mp, Lp=Lp)
+    if use_u8:
+        from ..kernels.sitestats import site_stats_compact_batch_u8
+        caps = _bucket_caps((Mp, 4, Lp))
+        t0 = time.perf_counter()
+        u8, cidx_s, cval_s = _pack_u8_chunk(part, Mp, Lp, caps)
+        _t_add("pack", time.perf_counter() - t0)
+        if mesh is not None:
+            from ..parallel.mesh import place_batch_sharded
+            placed = place_batch_sharded(
+                dict(u8=u8, cidx=cidx_s, cval=cval_s, ref_codes=refs,
+                     lens=lens, keys=keys_arr), mesh)
+            u8_d, cidx_d, cval_d = (placed["u8"], placed["cidx"],
+                                    placed["cval"])
+            refs_d, lens_d, keys_d = (placed["ref_codes"], placed["lens"],
+                                      placed["keys"])
+            Sp = u8_d.shape[0]
+        elif TIMINGS is not None:
+            # explicit, synchronized h2d so the benchmark can separate
+            # the transfer from the compute (production overlaps it)
+            t0 = time.perf_counter()
+            u8_d, cidx_d, cval_d, refs_d, lens_d, keys_d = [
+                jax.block_until_ready(jax.device_put(x))
+                for x in (u8, cidx_s, cval_s, refs, lens, keys_arr)]
+            _t_add("h2d", time.perf_counter() - t0)
+            Sp = S
+        else:
+            u8_d, cidx_d, cval_d = u8, cidx_s, cval_s
+            refs_d, lens_d, keys_d = refs, lens, keys_arr
+            Sp = S
+        snp_cap = min(caps["snp"], Mp * Lp)
+        pos_cap = min(caps["pos"], Lp)
+        rpos_cap = min(caps["rpos"], Lp)
+        skey = ("u8b", (Sp, Mp, 4, Lp), snp_cap, pos_cap, rpos_cap,
+                cidx_s.shape[1], with_dense, min_cov, rarefied_coverage)
+        t0 = time.perf_counter()
+        res = site_stats_compact_batch_u8(
+            u8_d, cidx_d, cval_d, refs_d, lens_d, null_lut, freq_lut,
+            keys_d, min_cov=min_cov, min_covR=rarefied_coverage,
+            rarefied_draws=rarefied_coverage, snp_capacity=snp_cap,
+            pos_capacity=pos_cap, rpos_capacity=rpos_cap,
+            with_dense=with_dense, spec_key=skey)
+        if TIMINGS is not None:
+            jax.block_until_ready(res)
+        _t_add("compute", time.perf_counter() - t0)
+        rec.update(kind="u8", res=res, skey=skey, caps=caps)
+    else:
+        from ..kernels.sitestats import site_stats_compact_batch
+        counts = np.zeros((S, Mp, 4, Lp), np.int32)
+        for k, (_i, pu, _rc) in enumerate(part):
+            if pu.true_M is not None and pu.counts.shape[0] == Mp:
+                counts[k] = pu.counts
+            else:
+                ce = pu.counts_exact
+                M, _, L = ce.shape
+                counts[k, :M, :, :L] = ce
+        if mesh is not None:
+            from ..parallel.mesh import place_batch_sharded
+            placed = place_batch_sharded(
+                dict(counts=counts, ref_codes=refs, lens=lens,
+                     keys=keys_arr), mesh)
+            counts_d, refs_d = placed["counts"], placed["ref_codes"]
+            lens_d, keys_d = placed["lens"], placed["keys"]
+        else:
+            counts_d, refs_d, lens_d, keys_d = counts, refs, lens, keys_arr
+        res = site_stats_compact_batch(
+            counts_d, refs_d, lens_d, null_lut, freq_lut, keys_d,
+            min_cov=min_cov, min_covR=rarefied_coverage,
+            rarefied_draws=rarefied_coverage, snp_capacity=SNP_CAPACITY,
+            pos_capacity=POS_CAPACITY, with_dense=with_dense)
+        rec.update(kind="i32", res=res)
+    return rec
+
+
+def _finish_batch_chunk(rec, results, min_cov, with_dense):
+    """Fetch one dispatched chunk's wire, unpack, and slice per-scaffold
+    stats into `results`. Scaffolds that overflowed the wire capacities
+    stay None (the caller re-runs them per-scaffold) and raise the
+    bucket's speculative high-water marks for later launches."""
+    part, Mp, Lp = rec["part"], rec["Mp"], rec["Lp"]
+    if rec["kind"] == "u8":
+        from ..kernels.sitestats import unpack_wire
+        t0 = time.perf_counter()
+        wire = np.asarray(rec["res"][0])
+        _t_add("fetch", time.perf_counter() - t0)
+        out = unpack_wire(wire, rec["skey"])
+        clonR_sp = out.pop("clonR_sparse", None)
+        wire_u8 = True
+        cum_overflow = out["linkage"].pop("cum_overflow")
+        caps = rec["caps"]
+    else:
+        out = jax.device_get(rec["res"])
+        wire_u8 = False
+        clonR_sp = None
+        cum_overflow = np.zeros(len(part), bool)
+        caps = None
+    dense = out.pop("dense", None)
+    for k, (i, pu, _rc) in enumerate(part):
+        if pu.true_M is not None:
+            M, L = pu.true_M, pu.length
+        else:
+            M, _, L = pu.counts.shape
+        sliced = {
+            grp: {name: np.asarray(v[k]) for name, v in d.items()}
+            for grp, d in out.items()
+        }
+        cls = HybridStats if with_dense else CompactStats
+        results[i] = cs = cls.__new__(cls)
+        cs.pileup = pu
+        cs.M, cs.L = M, L
+        cs.rows = sliced["rows"]
+        cs.agg = {kk: v[:M] for kk, v in sliced["agg"].items()}
+        cs.linkage = sliced["linkage"]
+        cs.masks = sliced["masks"]
+        if wire_u8:
+            m = cs.masks
+            cs.masks = dict(
+                cryptic=np.unpackbits(m["cryptic"])[:Lp].astype(bool),
+                any_snp=np.unpackbits(m["any_snp"])[:Lp].astype(bool),
+                bases_mask=np.unpackbits(m["bases_mask"], axis=-1)
+                [:, :Lp].astype(bool))
+            cs.linkage["cum"] = cs.linkage["cum"].astype(np.int32)
+        if with_dense:
+            if wire_u8:
+                from ..io.bam import clon_cum16
+                c16 = pu.counts if pu.counts.dtype == np.int16 \
+                    else pu.counts.astype(np.int16)
+                total, clon = clon_cum16(c16, M, min_cov)
+                cs.dense = {
+                    "total": total, "clon": clon,
+                    "clonR": _clonR_from_sparse(clonR_sp, k, Mp, Lp)}
+            else:
+                cs.dense = {kk: np.asarray(v[k])
+                            for kk, v in dense.items()}
+        n_rows = int(cs.rows["n_rows"])
+        n_pos = int(cs.linkage["n_pos"])
+        n_rar = int(clonR_sp["n"][k]) if clonR_sp is not None else 0
+        if (n_rows > len(cs.rows["pos"]) or
+                n_pos > len(cs.linkage["pos"]) or
+                (clonR_sp is not None and
+                 n_rar > clonR_sp["pos"].shape[1]) or
+                bool(cum_overflow[k])):
+            # overflowed the batch wire capacity -> re-run per-scaffold;
+            # raise this bucket's speculative high-water mark for later
+            # launches (u8 wire only — int32 uses fixed capacities)
+            if wire_u8:
+                caps["snp"] = max(caps["snp"],
+                                  _pow2_capacity(n_rows, lo=256))
+                caps["pos"] = max(caps["pos"],
+                                  _pow2_capacity(n_pos, lo=256))
+                caps["rpos"] = max(caps["rpos"],
+                                   _pow2_capacity(n_rar, lo=256))
+            results[i] = None
+
+
 def run_site_stats_compact_batch(pileups, ref_codes_list, null_lut,
                                  freq_lut, min_cov: int = 5,
                                  rarefied_coverage: int = 50,
                                  seed: int = 42, with_dense: bool = False,
                                  max_chunk_bytes: int = 32 << 20,
-                                 mesh=None):
+                                 mesh=None, pipeline_depth: int = 3):
     """
-    Batch same-bucket scaffolds through one kernel launch.
+    Batch same-bucket scaffolds through one kernel launch, with the
+    launches PIPELINED.
 
     Groups pileups by padded (M, L) bucket, stacks each bucket into
     [S, Mp, 4, Lp] and vmaps the compact kernel — one device round-trip
-    per bucket instead of per scaffold.  With `with_dense` the dense
-    total/clon/clonR arrays ride along and the results are HybridStats
-    (usable by the full profile pipeline); buckets are chunked so one
-    launch moves at most ~max_chunk_bytes of dense output.
+    per bucket chunk instead of per scaffold. Up to `pipeline_depth`
+    chunks are kept in flight: jax dispatch is asynchronous, so chunk
+    i+1's host packing and host->device transfer overlap chunk i's
+    device compute (the relay link makes both ~equal-cost; overlapping
+    them roughly halves the device-path wall time at 100+ scaffolds).
+
+    With `with_dense` the dense total/clon arrays are reconstructed
+    natively on host from the counts we already hold and only the sparse
+    clonR rides the wire; results are HybridStats (usable by the full
+    profile pipeline). Buckets are chunked so one launch moves at most
+    ~max_chunk_bytes.
 
     With `mesh`, each chunk's stack is sharded along the scaffold axis
     across the device mesh (parallel/mesh.py) — the multi-chip analogue
-    of the reference's split-worker pool; per-scaffold results are
-    bit-identical to the unsharded batch.
+    of the reference's split-worker pool (profile_controller.py:157-193);
+    per-scaffold results are bit-identical to the unsharded batch.
 
     Returns list of CompactStats/HybridStats in input order.
     """
-    import jax
+    from collections import deque
 
     buckets: Dict = {}
     for i, (pu, rc) in enumerate(zip(pileups, ref_codes_list)):
@@ -486,17 +724,14 @@ def run_site_stats_compact_batch(pileups, ref_codes_list, null_lut,
         buckets.setdefault((Mp, Lp), []).append((i, pu, rc))
 
     results = [None] * len(pileups)
-    from ..kernels.sitestats import site_stats_compact_batch
+    chunks = []
     for (Mp, Lp), items in buckets.items():
         # wire bytes per scaffold: the u8 path moves uint8 counts in and
-        # dense clon (+clonR when rarefied) out; the int16/int32 fallback
-        # also fetches total and sends wider counts. Launches are ~100 ms
-        # relay round-trips, so undersized chunks cost more than
-        # oversized ones.
+        # only the sparse clonR out; the int32 fallback sends 4x-wider
+        # counts and fetches dense outputs. Launches are ~100 ms relay
+        # round-trips, so undersized chunks cost more than oversized.
         bucket16 = all(pu.counts.dtype == np.int16 for _, pu, _ in items)
         if bucket16:
-            # u8 wire: uint8 counts in; only clonR (f32, often skipped)
-            # rides out — total/clon are host-reconstructed
             per_scaffold = Mp * Lp * (4 if with_dense else 1) + Mp * 4 * Lp
         else:
             per_scaffold = (Mp * Lp * (12 if with_dense else 4) +
@@ -504,181 +739,25 @@ def run_site_stats_compact_batch(pileups, ref_codes_list, null_lut,
         chunk = max(1, max_chunk_bytes // per_scaffold)
         for c0 in range(0, len(items), chunk):
             part = items[c0:c0 + chunk]
-            S = len(part)
-            # all-int16 parts (native padded builder) transfer half the
-            # bytes; the kernel widens on device
-            all16 = all(pu.counts.dtype == np.int16 for _, pu, _ in part)
-            counts = np.zeros((S, Mp, 4, Lp),
-                              np.int16 if all16 else np.int32)
-            refs = np.full((S, Lp), 4, np.uint8)
-            lens = np.zeros(S, np.int64)
-            keys = []
-            for k, (i, pu, rc) in enumerate(part):
-                if pu.true_M is not None and pu.counts.shape[0] == Mp:
-                    counts[k] = pu.counts
-                    L = pu.length
-                else:
-                    ce = pu.counts_exact
-                    M, _, L = ce.shape
-                    counts[k, :M, :, :L] = ce
-                refs[k, :L] = rc
-                lens[k] = L
-                keys.append(jax.random.fold_in(jax.random.PRNGKey(seed),
-                                               pu.rid))
-            # u8 wire format: saturated uint8 stack + per-scaffold
-            # corrections, packed masks / int16 linkage counts / sparse
-            # clonR on the way back, and speculative capacities bounded
-            # by the bucket shape. Works sharded: with `mesh` the stack
-            # shards along the scaffold axis and every per-scaffold
-            # program (incl. its correction scatter) stays shard-local.
-            packed = None
-            if all16 and counts.size < (1 << 31):
-                from ..io.bam import pack_counts_u8
-                t0 = time.perf_counter()
-                packed = pack_counts_u8(counts,
-                                        corr_capacity=4096 + 64 * S)
-                _t_add("pack", time.perf_counter() - t0)
-            caps = _bucket_caps(counts.shape[1:])
-            if packed is not None:
-                from ..kernels.sitestats import site_stats_compact_batch_u8
-                from ..kernels.sitestats import unpack_wire
-                u8, cidx, cval = packed
-                cidx_s, cval_s = _per_scaffold_corrections(
-                    cidx, cval, S, Mp * 4 * Lp, caps)
-                keys_arr = np.stack([np.asarray(kk) for kk in keys])
-                if mesh is not None:
-                    from ..parallel.mesh import place_batch_sharded
-                    placed = place_batch_sharded(
-                        dict(u8=u8, cidx=cidx_s, cval=cval_s,
-                             ref_codes=refs, lens=lens, keys=keys_arr),
-                        mesh)
-                    u8_d, cidx_d, cval_d = (placed["u8"], placed["cidx"],
-                                            placed["cval"])
-                    refs_d, lens_d, keys_d = (placed["ref_codes"],
-                                              placed["lens"],
-                                              placed["keys"])
-                    null_d, freq_d = null_lut, freq_lut
-                    Sp = u8_d.shape[0]
-                elif TIMINGS is not None:
-                    t0 = time.perf_counter()
-                    (u8_d, cidx_d, cval_d, refs_d, lens_d, keys_d,
-                     null_d, freq_d) = [
-                        jax.block_until_ready(jax.device_put(x))
-                        for x in (u8, cidx_s, cval_s, refs, lens,
-                                  keys_arr, null_lut, freq_lut)]
-                    _t_add("h2d", time.perf_counter() - t0)
-                    Sp = S
-                else:
-                    u8_d, cidx_d, cval_d = u8, cidx_s, cval_s
-                    refs_d, lens_d, keys_d = refs, lens, keys_arr
-                    null_d, freq_d = null_lut, freq_lut
-                    Sp = S
-                snp_cap = min(caps["snp"], Mp * Lp)
-                pos_cap = min(caps["pos"], Lp)
-                rpos_cap = min(caps["rpos"], Lp)
-                skey = ("u8b", (Sp,) + counts.shape[1:], snp_cap, pos_cap,
-                        rpos_cap, cidx_s.shape[1], with_dense, min_cov,
-                        rarefied_coverage)
-                t0 = time.perf_counter()
-                res = site_stats_compact_batch_u8(
-                    u8_d, cidx_d, cval_d, refs_d, lens_d, null_d, freq_d,
-                    keys_d, min_cov=min_cov,
-                    min_covR=rarefied_coverage,
-                    rarefied_draws=rarefied_coverage,
-                    snp_capacity=snp_cap, pos_capacity=pos_cap,
-                    rpos_capacity=rpos_cap,
-                    with_dense=with_dense, spec_key=skey)
-                if TIMINGS is not None:
-                    jax.block_until_ready(res)
-                _t_add("compute", time.perf_counter() - t0)
-                # ONE packed fetch; clonR rides sparsely inside it
-                t0 = time.perf_counter()
-                wire = np.asarray(res[0])
-                _t_add("fetch", time.perf_counter() - t0)
-                out = unpack_wire(wire, skey)
-                clonR_sp = out.pop("clonR_sparse", None)
-                wire_u8 = True
-                cum_overflow = out["linkage"].pop("cum_overflow")
-            else:
-                keys_arr = np.stack([np.asarray(kk) for kk in keys])
-                if mesh is not None:
-                    from ..parallel.mesh import place_batch_sharded
-                    placed = place_batch_sharded(
-                        dict(counts=counts, ref_codes=refs, lens=lens,
-                             keys=keys_arr), mesh)
-                    counts_d, refs_d = placed["counts"], placed["ref_codes"]
-                    lens_d, keys_d = placed["lens"], placed["keys"]
-                else:
-                    counts_d, refs_d, lens_d, keys_d = (counts, refs, lens,
-                                                        keys_arr)
-                out = jax.device_get(site_stats_compact_batch(
-                    counts_d, refs_d, lens_d, null_lut, freq_lut, keys_d,
-                    min_cov=min_cov, min_covR=rarefied_coverage,
-                    rarefied_draws=rarefied_coverage,
-                    snp_capacity=SNP_CAPACITY, pos_capacity=POS_CAPACITY,
-                    with_dense=with_dense))
-                wire_u8 = False
-                clonR_sp = None
-                cum_overflow = np.zeros(S, bool)
-            dense = out.pop("dense", None)
-            for k, (i, pu, rc) in enumerate(part):
-                if pu.true_M is not None:
-                    M, L = pu.true_M, pu.length
-                else:
-                    M, _, L = pu.counts.shape
-                sliced = {
-                    grp: {name: np.asarray(v[k]) for name, v in d.items()}
-                    for grp, d in out.items()
-                }
-                cls = HybridStats if with_dense else CompactStats
-                results[i] = cs = cls.__new__(cls)
-                cs.pileup = pu
-                cs.M, cs.L = M, L
-                cs.rows = sliced["rows"]
-                cs.agg = {kk: v[:M] for kk, v in sliced["agg"].items()}
-                cs.linkage = sliced["linkage"]
-                cs.masks = sliced["masks"]
-                if wire_u8:
-                    m = cs.masks
-                    cs.masks = dict(
-                        cryptic=np.unpackbits(m["cryptic"])[:Lp]
-                        .astype(bool),
-                        any_snp=np.unpackbits(m["any_snp"])[:Lp]
-                        .astype(bool),
-                        bases_mask=np.unpackbits(m["bases_mask"], axis=-1)
-                        [:, :Lp].astype(bool))
-                    cs.linkage["cum"] = cs.linkage["cum"].astype(np.int32)
-                if with_dense:
-                    if wire_u8:
-                        from ..io.bam import clon_cum16
-                        total, clon = clon_cum16(counts[k], M, min_cov)
-                        cs.dense = {
-                            "total": total, "clon": clon,
-                            "clonR": _clonR_from_sparse(clonR_sp, k,
-                                                        Mp, Lp)}
-                    else:
-                        cs.dense = {kk: np.asarray(v[k])
-                                    for kk, v in dense.items()}
-                n_rows = int(cs.rows["n_rows"])
-                n_pos = int(cs.linkage["n_pos"])
-                n_rar = (int(clonR_sp["n"][k]) if clonR_sp is not None
-                         else 0)
-                if (n_rows > len(cs.rows["pos"]) or
-                        n_pos > len(cs.linkage["pos"]) or
-                        (clonR_sp is not None and
-                         n_rar > clonR_sp["pos"].shape[1]) or
-                        bool(cum_overflow[k])):
-                    # this scaffold overflowed the batch wire capacity;
-                    # the caller re-runs it on the right-sizing
-                    # per-scaffold path. Raise this bucket's speculative
-                    # capacity high-water mark for later launches (u8
-                    # wire only — the int32 path uses fixed capacities).
-                    if wire_u8:
-                        caps["snp"] = max(caps["snp"],
-                                          _pow2_capacity(n_rows, lo=256))
-                        caps["pos"] = max(caps["pos"],
-                                          _pow2_capacity(n_pos, lo=256))
-                        caps["rpos"] = max(caps["rpos"],
-                                           _pow2_capacity(n_rar, lo=256))
-                    results[i] = None
+            # the u8 wire needs int16 counts (native padded-builder
+            # pileups pack zero-copy; ragged int16 via per-scaffold temps)
+            use_u8 = (all(pu.counts.dtype == np.int16
+                          for _, pu, _ in part) and
+                      len(part) * Mp * 4 * Lp < (1 << 31))
+            chunks.append((part, Mp, Lp, use_u8))
+
+    # benchmark instrumentation synchronizes every phase, so keep the
+    # launches serial there; production overlaps up to pipeline_depth
+    depth = 1 if TIMINGS is not None else max(1, int(pipeline_depth))
+    pending = deque()
+    for part, Mp, Lp, use_u8 in chunks:
+        pending.append(_dispatch_batch_chunk(
+            part, Mp, Lp, use_u8, null_lut, freq_lut, min_cov,
+            rarefied_coverage, seed, with_dense, mesh))
+        while len(pending) > depth:
+            _finish_batch_chunk(pending.popleft(), results, min_cov,
+                                with_dense)
+    while pending:
+        _finish_batch_chunk(pending.popleft(), results, min_cov,
+                            with_dense)
     return results

@@ -411,3 +411,63 @@ def test_wire_roundtrip_single_buffer():
             else:
                 assert np.array_equal(got, orig), name
             assert got.dtype == orig.dtype, name
+
+
+def test_fold_keys_matches_device_fold_in():
+    """_fold_keys (host-CPU vmapped fold_in; compact.py:127) is
+    bit-identical to the per-scaffold jax.random.fold_in it replaced —
+    the keys feed the rarefied draws, so parity keeps every engine's
+    stochastic columns reproducible."""
+    import jax
+    base = jax.random.PRNGKey(42)
+    rids = [0, 1, 7, 123456, 2 ** 31 - 1]
+    keys = compact._fold_keys(42, rids)
+    for r, k in zip(rids, keys):
+        assert np.array_equal(np.asarray(jax.random.fold_in(base, r)), k)
+
+
+def test_batch_pipeline_depth_invariant(ref_null_model):
+    """The pipelined batch loop (dispatch-ahead, compact.py
+    run_site_stats_compact_batch) returns bit-identical stats at any
+    pipeline depth / chunking, including multi-chunk runs."""
+    from instrain_tpu.profile.pileup import ScaffoldPileup, make_luts
+    from instrain_tpu.config import VariantConfig
+
+    rng = np.random.default_rng(3)
+    pus, codes = [], []
+    for i in range(6):
+        L = 1500 + 13 * i
+        counts = rng.integers(0, 12, (3, 4, L)).astype(np.int16)
+        counts[rng.random(counts.shape) < 0.5] = 0
+        counts[0, 0, :: 97] = 300  # exercise u8 corrections
+        pus.append(ScaffoldPileup(name=f"p{i}", rid=i, length=L,
+                                  mm_values=np.arange(3), counts=counts))
+        codes.append(rng.integers(0, 4, L).astype(np.uint8))
+    vcfg = VariantConfig()
+    vcfg.null_model = ref_null_model
+    null_lut, freq_lut = make_luts(vcfg)
+
+    def run(depth, chunk_bytes):
+        return compact.run_site_stats_compact_batch(
+            pus, codes, null_lut, freq_lut, with_dense=True,
+            max_chunk_bytes=chunk_bytes, pipeline_depth=depth)
+
+    run(1, 1 << 30)   # warm the speculative wire capacities
+    base = run(1, 1 << 30)   # one chunk, serial
+    for depth, cb in ((3, 1 << 16), (2, 1 << 18), (4, 1 << 30)):
+        other = run(depth, cb)  # many chunks, pipelined
+        assert len(base) == len(other)
+        for a, b in zip(base, other):
+            assert (a is None) == (b is None)
+            if a is None:
+                continue
+            for grp in ("rows", "agg", "linkage", "masks"):
+                ga, gb = getattr(a, grp), getattr(b, grp)
+                for k in ga:
+                    va = np.nan_to_num(np.asarray(ga[k]), nan=-7.5)
+                    vb = np.nan_to_num(np.asarray(gb[k]), nan=-7.5)
+                    assert np.array_equal(va, vb), (grp, k)
+            for k in a.dense:
+                va = np.nan_to_num(np.asarray(a.dense[k]), nan=-7.5)
+                vb = np.nan_to_num(np.asarray(b.dense[k]), nan=-7.5)
+                assert np.array_equal(va, vb), ("dense", k)
