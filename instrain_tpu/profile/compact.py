@@ -476,7 +476,7 @@ def coverage_table_compact(cs: CompactStats) -> pd.DataFrame:
     return df[active].reset_index(drop=True)
 
 
-def _pack_u8_chunk(part, Mp: int, Lp: int, caps: Dict):
+def _pack_u8_chunk(part, Mp: int, Lp: int, caps: Dict, Sp0: int):
     """Pack each scaffold's already-padded int16 counts straight into
     the [S, Mp, 4, Lp] uint8 stack (native per-scaffold pass — no int16
     stacking copy, no memset) with per-scaffold correction rows
@@ -486,7 +486,9 @@ def _pack_u8_chunk(part, Mp: int, Lp: int, caps: Dict):
     before launch, so no kernel run is wasted."""
     from ..io.bam import pack_counts_u8_into
     S = len(part)
-    u8 = np.empty((S, Mp, 4, Lp), np.uint8)
+    u8 = np.empty((Sp0, Mp, 4, Lp), np.uint8)
+    if Sp0 > S:
+        u8[S:] = 0  # tail-padding scaffolds: zero counts, length 0
 
     def padded16(pu):
         # native padded-builder pileups pass through zero-copy; ragged
@@ -501,8 +503,8 @@ def _pack_u8_chunk(part, Mp: int, Lp: int, caps: Dict):
 
     while True:
         C = caps["corr"]
-        ci = np.zeros((S, C), np.int32)
-        cv = np.zeros((S, C), np.int32)
+        ci = np.zeros((Sp0, C), np.int32)
+        cv = np.zeros((Sp0, C), np.int32)
         need = 0
         for k, (_i, pu, _rc) in enumerate(part):
             n = pack_counts_u8_into(padded16(pu), u8[k], ci[k], cv[k])
@@ -514,24 +516,31 @@ def _pack_u8_chunk(part, Mp: int, Lp: int, caps: Dict):
 
 def _dispatch_batch_chunk(part, Mp, Lp, use_u8, null_lut, freq_lut,
                           min_cov, rarefied_coverage, seed, with_dense,
-                          mesh):
+                          mesh, pad_to=None):
     """Build one chunk's inputs and dispatch its kernel WITHOUT waiting
     for the result (jax dispatch is asynchronous, so the next chunk's
     host packing and h2d overlap this chunk's device compute). Returns a
-    pending record for _finish_batch_chunk."""
+    pending record for _finish_batch_chunk.
+
+    `pad_to` pads the scaffold axis with zero-count/length-0 dummies so a
+    bucket's tail chunk reuses the full chunk's compiled kernel shape
+    (one XLA compile per bucket, not one per distinct tail size); the
+    same masking convention as the mesh padding (parallel/mesh.py:87)."""
     S = len(part)
-    refs = np.full((S, Lp), 4, np.uint8)
-    lens = np.zeros(S, np.int64)
+    Sp0 = max(pad_to or S, S)
+    refs = np.full((Sp0, Lp), 4, np.uint8)
+    lens = np.zeros(Sp0, np.int64)
     for k, (_i, pu, rc) in enumerate(part):
         refs[k, :pu.length] = rc
         lens[k] = pu.length
-    keys_arr = _fold_keys(seed, [pu.rid for _i, pu, _rc in part])
+    keys_arr = _fold_keys(seed, [pu.rid for _i, pu, _rc in part] +
+                          [0] * (Sp0 - S))
     rec = dict(part=part, Mp=Mp, Lp=Lp)
     if use_u8:
         from ..kernels.sitestats import site_stats_compact_batch_u8
         caps = _bucket_caps((Mp, 4, Lp))
         t0 = time.perf_counter()
-        u8, cidx_s, cval_s = _pack_u8_chunk(part, Mp, Lp, caps)
+        u8, cidx_s, cval_s = _pack_u8_chunk(part, Mp, Lp, caps, Sp0)
         _t_add("pack", time.perf_counter() - t0)
         if mesh is not None:
             from ..parallel.mesh import place_batch_sharded
@@ -551,11 +560,11 @@ def _dispatch_batch_chunk(part, Mp, Lp, use_u8, null_lut, freq_lut,
                 jax.block_until_ready(jax.device_put(x))
                 for x in (u8, cidx_s, cval_s, refs, lens, keys_arr)]
             _t_add("h2d", time.perf_counter() - t0)
-            Sp = S
+            Sp = Sp0
         else:
             u8_d, cidx_d, cval_d = u8, cidx_s, cval_s
             refs_d, lens_d, keys_d = refs, lens, keys_arr
-            Sp = S
+            Sp = Sp0
         snp_cap = min(caps["snp"], Mp * Lp)
         pos_cap = min(caps["pos"], Lp)
         rpos_cap = min(caps["rpos"], Lp)
@@ -574,7 +583,7 @@ def _dispatch_batch_chunk(part, Mp, Lp, use_u8, null_lut, freq_lut,
         rec.update(kind="u8", res=res, skey=skey, caps=caps)
     else:
         from ..kernels.sitestats import site_stats_compact_batch
-        counts = np.zeros((S, Mp, 4, Lp), np.int32)
+        counts = np.zeros((Sp0, Mp, 4, Lp), np.int32)
         for k, (_i, pu, _rc) in enumerate(part):
             if pu.true_M is not None and pu.counts.shape[0] == Mp:
                 counts[k] = pu.counts
@@ -743,17 +752,21 @@ def run_site_stats_compact_batch(pileups, ref_codes_list, null_lut,
             # pileups pack zero-copy; ragged int16 via per-scaffold temps)
             use_u8 = (all(pu.counts.dtype == np.int16
                           for _, pu, _ in part) and
-                      len(part) * Mp * 4 * Lp < (1 << 31))
-            chunks.append((part, Mp, Lp, use_u8))
+                      chunk * Mp * 4 * Lp < (1 << 31))
+            # pad the tail chunk to the full chunk size so the bucket
+            # needs exactly ONE compiled kernel shape (a distinct tail
+            # size would otherwise cost a fresh XLA compile)
+            pad_to = chunk if len(items) > chunk else None
+            chunks.append((part, Mp, Lp, use_u8, pad_to))
 
     # benchmark instrumentation synchronizes every phase, so keep the
     # launches serial there; production overlaps up to pipeline_depth
     depth = 1 if TIMINGS is not None else max(1, int(pipeline_depth))
     pending = deque()
-    for part, Mp, Lp, use_u8 in chunks:
+    for part, Mp, Lp, use_u8, pad_to in chunks:
         pending.append(_dispatch_batch_chunk(
             part, Mp, Lp, use_u8, null_lut, freq_lut, min_cov,
-            rarefied_coverage, seed, with_dense, mesh))
+            rarefied_coverage, seed, with_dense, mesh, pad_to=pad_to))
         while len(pending) > depth:
             _finish_batch_chunk(pending.popleft(), results, min_cov,
                                 with_dense)

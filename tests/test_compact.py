@@ -454,7 +454,10 @@ def test_batch_pipeline_depth_invariant(ref_null_model):
 
     run(1, 1 << 30)   # warm the speculative wire capacities
     base = run(1, 1 << 30)   # one chunk, serial
-    for depth, cb in ((3, 1 << 16), (2, 1 << 18), (4, 1 << 30)):
+    # 1<<20 makes 4-scaffold chunks: the 6-scaffold run gets a padded
+    # tail chunk (compact.py pad_to), also asserted bit-exact
+    for depth, cb in ((3, 1 << 16), (2, 1 << 18), (3, 1 << 20),
+                      (4, 1 << 30)):
         other = run(depth, cb)  # many chunks, pipelined
         assert len(base) == len(other)
         for a, b in zip(base, other):
