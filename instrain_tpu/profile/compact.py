@@ -609,11 +609,13 @@ def _dispatch_batch_chunk(part, Mp, Lp, use_u8, null_lut, freq_lut,
     return rec
 
 
-def _finish_batch_chunk(rec, results, min_cov, with_dense):
+def _finish_batch_chunk(rec, results, min_cov, with_dense, emit=None):
     """Fetch one dispatched chunk's wire, unpack, and slice per-scaffold
     stats into `results`. Scaffolds that overflowed the wire capacities
     stay None (the caller re-runs them per-scaffold) and raise the
-    bucket's speculative high-water marks for later launches."""
+    bucket's speculative high-water marks for later launches. `emit` is
+    called with every (index, stats-or-None) as it lands (the streaming
+    overlap path, iter_site_stats_compact_batch)."""
     part, Mp, Lp = rec["part"], rec["Mp"], rec["Lp"]
     if rec["kind"] == "u8":
         from ..kernels.sitestats import unpack_wire
@@ -688,25 +690,32 @@ def _finish_batch_chunk(rec, results, min_cov, with_dense):
                 caps["rpos"] = max(caps["rpos"],
                                    _pow2_capacity(n_rar, lo=256))
             results[i] = None
+        if emit is not None:
+            emit(i, results[i])
 
 
 def run_site_stats_compact_batch(pileups, ref_codes_list, null_lut,
                                  freq_lut, min_cov: int = 5,
                                  rarefied_coverage: int = 50,
                                  seed: int = 42, with_dense: bool = False,
-                                 max_chunk_bytes: int = 32 << 20,
-                                 mesh=None, pipeline_depth: int = 3):
+                                 max_chunk_bytes: int = 64 << 20,
+                                 mesh=None, pipeline_depth: int = 3,
+                                 emit=None):
     """
     Batch same-bucket scaffolds through one kernel launch, with the
-    launches PIPELINED.
+    launches dispatched up to `pipeline_depth` ahead.
 
     Groups pileups by padded (M, L) bucket, stacks each bucket into
     [S, Mp, 4, Lp] and vmaps the compact kernel — one device round-trip
-    per bucket chunk instead of per scaffold. Up to `pipeline_depth`
-    chunks are kept in flight: jax dispatch is asynchronous, so chunk
-    i+1's host packing and host->device transfer overlap chunk i's
-    device compute (the relay link makes both ~equal-cost; overlapping
-    them roughly halves the device-path wall time at 100+ scaffolds).
+    per bucket chunk instead of per scaffold. On an async backend the
+    dispatch-ahead overlaps chunk i+1's h2d with chunk i's compute; on
+    this environment's stdio relay every device call is SYNCHRONOUS
+    (measured: dispatch blocks until the kernel completes), so the real
+    overlap comes from iter_site_stats_compact_batch, which runs this
+    loop in a background thread — the relay calls release the GIL, so
+    the caller's host-side table building proceeds in parallel
+    (measured ~1.75 s of host work during a 2.1 s device loop with no
+    slowdown of either).
 
     With `with_dense` the dense total/clon arrays are reconstructed
     natively on host from the counts we already hold and only the sparse
@@ -769,8 +778,54 @@ def run_site_stats_compact_batch(pileups, ref_codes_list, null_lut,
             rarefied_coverage, seed, with_dense, mesh, pad_to=pad_to))
         while len(pending) > depth:
             _finish_batch_chunk(pending.popleft(), results, min_cov,
-                                with_dense)
+                                with_dense, emit=emit)
     while pending:
         _finish_batch_chunk(pending.popleft(), results, min_cov,
-                            with_dense)
+                            with_dense, emit=emit)
     return results
+
+
+def iter_site_stats_compact_batch(pileups, ref_codes_list, null_lut,
+                                  freq_lut, **kwargs):
+    """Streaming batch runner: yields (index, stats_or_None) as each
+    launch's results land, with the device loop in a BACKGROUND THREAD.
+
+    The relay's device calls are synchronous but release the GIL, so the
+    consumer's host-side work (per-scaffold table building, linkage,
+    gene profiling — several seconds for 100+ scaffolds) overlaps the
+    device wall time instead of following it. A worker failure is
+    re-raised here after all landed results have been yielded — callers
+    treat un-yielded scaffolds as engine-failed and retry per-scaffold
+    (the reference never dies on one bad unit,
+    profile_utilities.py:92-112)."""
+    import queue as queue_mod
+    import threading
+
+    q: "queue_mod.Queue" = queue_mod.Queue()
+    err = []
+
+    def work():
+        try:
+            # call through the module attribute so test monkeypatching of
+            # run_site_stats_compact_batch intercepts this path too
+            import sys
+            mod = sys.modules[__name__]
+            mod.run_site_stats_compact_batch(
+                pileups, ref_codes_list, null_lut, freq_lut,
+                emit=lambda i, s: q.put((i, s)), **kwargs)
+        except BaseException as e:  # noqa: BLE001 — re-raised in consumer
+            err.append(e)
+        finally:
+            q.put(None)
+
+    t = threading.Thread(target=work, daemon=True,
+                         name="instrain-batch-device")
+    t.start()
+    while True:
+        item = q.get()
+        if item is None:
+            break
+        yield item
+    t.join()
+    if err:
+        raise err[0]

@@ -397,40 +397,62 @@ def _profile_scaffolds_batched(bam, pairs, registry, keep, cfg, null_lut,
 
     if not pileups:
         return []
+    # The device loop runs in a background thread (the relay's device
+    # calls release the GIL); per-scaffold table building overlaps it
+    # here as each launch's stats land, instead of following serially.
+    results_map: Dict[int, ScaffoldProfileResult] = {}
+    retry_idx: List[int] = []
+    seen = set()
+    bar = tqdm(total=len(pileups), desc="Profiling scaffolds",
+               disable=None)
     try:
-        stats_list = compact_mod.run_site_stats_compact_batch(
-            pileups, codes, null_lut, freq_lut,
-            min_cov=cfg.variant.min_cov,
-            rarefied_coverage=cfg.rarefied_coverage, seed=cfg.seed,
-            with_dense=True, mesh=mesh)
+        for i, stats in compact_mod.iter_site_stats_compact_batch(
+                pileups, codes, null_lut, freq_lut,
+                min_cov=cfg.variant.min_cov,
+                rarefied_coverage=cfg.rarefied_coverage, seed=cfg.seed,
+                with_dense=True, mesh=mesh):
+            seen.add(i)
+            name, L = metas[i]
+            if stats is None:  # batch capacity overflow -> right-size
+                retry_idx.append(i)
+                continue
+            try:
+                results_map[i] = _result_from_stats(
+                    name, L, stats, codes[i], cfg, gene_data)
+            except Exception as e:
+                log_failure("SplitException", name, str(e))
+                logging.error(f"whole scaffold exception- {name}")
+            logging.debug(get_worker_log("SplitProfile", name, "end"))
+            bar.update()
     except Exception as e:
         # engine containment: a kernel-engine exception must not kill the
         # run (the reference contains per-unit failures and continues,
-        # profile_utilities.py:92-112). Every scaffold retries on the
-        # right-sizing per-scaffold hybrid/dense path below.
+        # profile_utilities.py:92-112). Every not-yet-landed scaffold
+        # retries on the right-sizing per-scaffold hybrid path below.
         log_failure("EngineException", "batch_engine", str(e))
         logging.error(f"batch engine failed ({e}); retrying every "
                       f"scaffold on the per-scaffold path")
-        stats_list = [None] * len(pileups)
+        retry_idx.extend(i for i in range(len(pileups)) if i not in seen)
 
-    results = []
-    for pu, rc, (name, L), stats in tqdm(
-            list(zip(pileups, codes, metas, stats_list)),
-            desc="Profiling scaffolds", disable=None):
+    # per-scaffold retries run AFTER the device thread has finished —
+    # never two concurrent relay users
+    for i in retry_idx:
+        name, L = metas[i]
         try:
-            if stats is None:  # batch capacity overflow -> right-size
-                stats = compact_mod.run_site_stats_hybrid(
-                    pu, rc, null_lut, freq_lut,
-                    min_cov=cfg.variant.min_cov,
-                    rarefied_coverage=cfg.rarefied_coverage,
-                    seed=cfg.seed, mesh=mesh)
-            results.append(_result_from_stats(name, L, stats, rc, cfg,
-                                              gene_data))
+            stats = compact_mod.run_site_stats_hybrid(
+                pileups[i], codes[i], null_lut, freq_lut,
+                min_cov=cfg.variant.min_cov,
+                rarefied_coverage=cfg.rarefied_coverage,
+                seed=cfg.seed, mesh=mesh)
+            results_map[i] = _result_from_stats(name, L, stats, codes[i],
+                                                cfg, gene_data)
         except Exception as e:
             log_failure("SplitException", name, str(e))
             logging.error(f"whole scaffold exception- {name}")
         logging.debug(get_worker_log("SplitProfile", name, "end"))
-    return results
+        bar.update()
+    bar.close()
+    return [results_map[i] for i in sorted(results_map)]
 
 
 def _finalize_result(r: ScaffoldProfileResult, cfg) -> Dict:
