@@ -486,9 +486,10 @@ def _pack_u8_chunk(part, Mp: int, Lp: int, caps: Dict, Sp0: int):
     before launch, so no kernel run is wasted."""
     from ..io.bam import pack_counts_u8_into
     S = len(part)
-    u8 = np.empty((Sp0, Mp, 4, Lp), np.uint8)
-    if Sp0 > S:
-        u8[S:] = 0  # tail-padding scaffolds: zero counts, length 0
+    # np.zeros = calloc: tail-padding scaffolds stay untouched virtual
+    # zero pages (an explicit memset of the dummy rows cost ~2 s on this
+    # bandwidth-throttled host); packed rows overwrite their pages anyway
+    u8 = np.zeros((Sp0, Mp, 4, Lp), np.uint8)
 
     def padded16(pu):
         # native padded-builder pileups pass through zero-copy; ragged
@@ -698,7 +699,7 @@ def run_site_stats_compact_batch(pileups, ref_codes_list, null_lut,
                                  freq_lut, min_cov: int = 5,
                                  rarefied_coverage: int = 50,
                                  seed: int = 42, with_dense: bool = False,
-                                 max_chunk_bytes: int = 64 << 20,
+                                 max_chunk_bytes: int = 32 << 20,
                                  mesh=None, pipeline_depth: int = 3,
                                  emit=None):
     """
