@@ -175,11 +175,23 @@ def _profile_impl(bam_path: str, fasta_path: str, cfg: ProfileConfig,
             # many small scaffolds amortize much better through the
             # vmapped batch kernel (one launch per shape bucket)
             engine = "batch" if len(keep_local) >= 16 else "hybrid"
+    stream: Dict[str, object] = {}
     if engine == "batch" and len(keep_local) > 1:
-        results = _profile_scaffolds_batched(bam, pairs, registry,
-                                             keep_local, cfg, null_lut,
-                                             freq_lut, gene_data,
-                                             mesh=mesh)
+        if not multi_host:
+            # single-host: write covT/clonT/clonTR hd5 datasets as each
+            # scaffold's result lands, overlapping the device loop (the
+            # multi-host path must store the post-allgather union, so it
+            # keeps the bulk store)
+            stream = {k: isdir.open_special_stream(k, d)
+                      for k, d in _SPECIAL_DESCR.items()}
+        try:
+            finals = _profile_scaffolds_batched(bam, pairs, registry,
+                                                keep_local, cfg, null_lut,
+                                                freq_lut, gene_data,
+                                                mesh=mesh, stream=stream)
+        finally:
+            for w in stream.values():
+                w.close()
     else:
         if engine == "batch":
             engine = "hybrid"
@@ -195,8 +207,7 @@ def _profile_impl(bam_path: str, fasta_path: str, cfg: ProfileConfig,
             if res is not None:
                 results.append(res)
         cfg.engine = cfg_engine
-
-    finals = [_finalize_result(r, cfg) for r in results]
+        finals = [_finalize_result(r, cfg) for r in results]
     if multi_host:
         from ..parallel.distributed import allgather_tables
         log_checkpoint("main_profile", "allgather_results", "start")
@@ -206,7 +217,8 @@ def _profile_impl(bam_path: str, fasta_path: str, cfg: ProfileConfig,
         order = {n: i for i, n in enumerate(keep)}
         finals.sort(key=lambda r: order.get(r["name"], len(order)))
         log_checkpoint("main_profile", "allgather_results", "end")
-    _store_results(isdir, finals, bam_path, cfg, gene_data)
+    _store_results(isdir, finals, bam_path, cfg, gene_data,
+                   prewritten=frozenset(stream))
     log_checkpoint("main_profile", "profile_scaffolds", "end")
 
     # outputs (reference: controller.py:352-360)
@@ -357,14 +369,27 @@ def _result_from_stats(name, L, stats, ref_codes, cfg, gene_data):
         linkage_table=ld, gene_results=gene_results)
 
 
+_SPECIAL_DESCR = {
+    "covT": "Scaffold -> mm -> position based coverage",
+    "clonT": "Scaffold -> mm -> position based clonality",
+    "clonTR": "Scaffold -> mm -> rarefied position based clonality",
+}
+
+
 def _profile_scaffolds_batched(bam, pairs, registry, keep, cfg, null_lut,
-                               freq_lut, gene_data, mesh=None):
+                               freq_lut, gene_data, mesh=None,
+                               stream=None):
     """Many-scaffold path: one vmapped kernel launch per (M, L) shape
     bucket instead of one per scaffold (metagenome assemblies commonly
     have thousands of small contigs; per-launch dispatch would dominate).
     Scaffolds that overflow the fixed batch capacities transparently
     re-run on the right-sizing per-scaffold path. With `mesh`, each
-    bucket stack is sharded over the device mesh on the scaffold axis."""
+    bucket stack is sharded over the device mesh on the scaffold axis.
+
+    Returns FINALIZED per-scaffold payload dicts (_finalize_result).
+    With `stream` ({attr -> SpecialStreamWriter}), each scaffold's
+    covT/clonT/clonTR views are written to their hd5 files here — inside
+    the device-loop overlap window — and dropped from the payload."""
     from ..obs.logging import get_worker_log, log_failure
     from . import compact as compact_mod
 
@@ -398,9 +423,20 @@ def _profile_scaffolds_batched(bam, pairs, registry, keep, cfg, null_lut,
     if not pileups:
         return []
     # The device loop runs in a background thread (the relay's device
-    # calls release the GIL); per-scaffold table building overlaps it
-    # here as each launch's stats land, instead of following serially.
-    results_map: Dict[int, ScaffoldProfileResult] = {}
+    # calls release the GIL); per-scaffold table building — and, with
+    # `stream`, the covT/clonT/clonTR hd5 writes — overlaps it here as
+    # each launch's stats land, instead of following serially.
+    def handle(i, stats):
+        name, L = metas[i]
+        result = _result_from_stats(name, L, stats, codes[i], cfg,
+                                    gene_data)
+        fin = _finalize_result(result, cfg)
+        if stream:
+            for attr, writer in stream.items():
+                writer.write(name, fin.pop(attr))
+        finals_map[i] = fin
+
+    finals_map: Dict[int, Dict] = {}
     retry_idx: List[int] = []
     seen = set()
     bar = tqdm(total=len(pileups), desc="Profiling scaffolds",
@@ -412,13 +448,12 @@ def _profile_scaffolds_batched(bam, pairs, registry, keep, cfg, null_lut,
                 rarefied_coverage=cfg.rarefied_coverage, seed=cfg.seed,
                 with_dense=True, mesh=mesh):
             seen.add(i)
-            name, L = metas[i]
+            name = metas[i][0]
             if stats is None:  # batch capacity overflow -> right-size
                 retry_idx.append(i)
                 continue
             try:
-                results_map[i] = _result_from_stats(
-                    name, L, stats, codes[i], cfg, gene_data)
+                handle(i, stats)
             except Exception as e:
                 log_failure("SplitException", name, str(e))
                 logging.error(f"whole scaffold exception- {name}")
@@ -437,22 +472,21 @@ def _profile_scaffolds_batched(bam, pairs, registry, keep, cfg, null_lut,
     # per-scaffold retries run AFTER the device thread has finished —
     # never two concurrent relay users
     for i in retry_idx:
-        name, L = metas[i]
+        name = metas[i][0]
         try:
             stats = compact_mod.run_site_stats_hybrid(
                 pileups[i], codes[i], null_lut, freq_lut,
                 min_cov=cfg.variant.min_cov,
                 rarefied_coverage=cfg.rarefied_coverage,
                 seed=cfg.seed, mesh=mesh)
-            results_map[i] = _result_from_stats(name, L, stats, codes[i],
-                                                cfg, gene_data)
+            handle(i, stats)
         except Exception as e:
             log_failure("SplitException", name, str(e))
             logging.error(f"whole scaffold exception- {name}")
         logging.debug(get_worker_log("SplitProfile", name, "end"))
         bar.update()
     bar.close()
-    return [results_map[i] for i in sorted(results_map)]
+    return [finals_map[i] for i in sorted(finals_map)]
 
 
 def _finalize_result(r: ScaffoldProfileResult, cfg) -> Dict:
@@ -481,8 +515,10 @@ def _finalize_result(r: ScaffoldProfileResult, cfg) -> Dict:
 
 
 def _store_results(isdir: ProfileDir, finals: List[Dict], bam_path, cfg,
-                   gene_data):
-    """reference: profile_utilities.gen_snv_profile (614-717)."""
+                   gene_data, prewritten=frozenset()):
+    """reference: profile_utilities.gen_snv_profile (614-717).
+    `prewritten` names special attrs already written incrementally by the
+    batch consumer's stream writers (and absent from the payloads)."""
     def cat(dfs):
         dfs = [d for d in dfs if d is not None and len(d)]
         return (pd.concat(dfs).reset_index(drop=True) if dfs
@@ -514,13 +550,10 @@ def _store_results(isdir: ProfileDir, finals: List[Dict], bam_path, cfg,
                 cat([r["cumulative_snv_table"] for r in finals]),
                 "pandas", "Cumulative SNP on mm level")
 
-    isdir.store("covT", {r["name"]: r["covT"] for r in finals}, "special",
-                "Scaffold -> mm -> position based coverage")
-    isdir.store("clonT", {r["name"]: r["clonT"] for r in finals},
-                "special", "Scaffold -> mm -> position based clonality")
-    isdir.store("clonTR", {r["name"]: r["clonTR"] for r in finals},
-                "special",
-                "Scaffold -> mm -> rarefied position based clonality")
+    for attr, descr in _SPECIAL_DESCR.items():
+        if attr not in prewritten:
+            isdir.store(attr, {r["name"]: r[attr] for r in finals},
+                        "special", descr)
 
     if cfg.store_everything:
         # per-scaffold summed ACTG pileup counts (reference: counts_table,

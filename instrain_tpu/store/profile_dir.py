@@ -81,6 +81,11 @@ class ProfileDir:
         else:
             raise ValueError(f"unknown attribute type {typ}")
 
+        self._register(name, stored, typ, description, adb)
+
+    def _register(self, name, stored, typ, description, adb=None):
+        if adb is None:
+            adb = self._get_attributes()
         row = pd.DataFrame({"value": [stored], "type": [typ],
                             "description": [description]}, index=[name])
         if name in adb.index:
@@ -88,6 +93,15 @@ class ProfileDir:
         else:
             adb = pd.concat([adb, row])
         self._store_attributes(adb)
+
+    def open_special_stream(self, name: str, description: str
+                            ) -> "SpecialStreamWriter":
+        """Incremental writer for a 'special' hd5 attribute: one
+        scaffold's mm->Series dict per write() call, so the (slow on
+        this host) compressed writes overlap upstream work instead of
+        lumping after it. Same on-disk format as store(..., 'special');
+        the attribute registers on close()."""
+        return SpecialStreamWriter(self, name, description)
 
     def get(self, name: str, **kwargs):
         adb = self._get_attributes()
@@ -286,3 +300,37 @@ def _format_version() -> str:
     major.minor; SNVprofile.py:863-873)."""
     from .. import __capability_version__
     return __capability_version__
+
+
+class SpecialStreamWriter:
+    """Write a 'special' hd5 attribute (one gzip'd dataset per
+    "scaffold::mm" pair, reference SNVprofile.py:717-748 format) one
+    scaffold at a time. Used by the batch engine's streaming consumer so
+    covT/clonT/clonTR writes overlap the device launch loop instead of
+    following it serially."""
+
+    def __init__(self, isdir: ProfileDir, name: str, description: str):
+        self._isdir = isdir
+        self._name = name
+        self._description = description
+        self._loc = isdir._fileloc(name) + ".hd5"
+        self._f = h5py.File(self._loc, "w")
+
+    def write(self, scaffold: str, mm2series: dict):
+        for mm, series in mm2series.items():
+            self._f.create_dataset(
+                f"{scaffold}::{mm}",
+                data=np.array([series.values, series.index.values]),
+                compression=_H5_COMP)
+
+    def close(self):
+        if self._f is not None:
+            self._f.close()
+            self._f = None
+            self._isdir._register(self._name, self._loc, "special",
+                                  self._description)
+
+    def abort(self):
+        if self._f is not None:
+            self._f.close()
+            self._f = None
