@@ -32,6 +32,19 @@ def _genome_of(isdir):
     return s2b
 
 
+def _allowed_genomes(isdir: ProfileDir, **kwargs) -> Optional[set]:
+    """Genomes passing the plot filters, or None for "all" (reference:
+    plotting/utilities.py:9-39 plot_genome, evaluated per genome page)."""
+    genomes = kwargs.get("genomes")
+    if genomes is not None:
+        return set(genomes)
+    allowed = _allowed_scaffolds(isdir, **kwargs)
+    if allowed is None:
+        return None
+    s2b = _genome_of(isdir)
+    return {b for s, b in s2b.items() if s in allowed}
+
+
 def _allowed_scaffolds(isdir: ProfileDir, **kwargs) -> Optional[set]:
     """Scaffolds whose genome passes the plot filters, or None for "all"
     (reference: plotting/utilities.py:9-39 plot_genome — an explicit
@@ -75,36 +88,59 @@ def _allowed_scaffolds(isdir: ProfileDir, **kwargs) -> Optional[set]:
 # 1 ---------------------------------------------------------------------
 
 def plot_coverage_breadth_vs_mm(isdir: ProfileDir, **kwargs):
-    """Coverage/breadth vs read-pair ANI level (mapping_plots.py)."""
+    """Breadth vs read-pair ANI level, one page per genome (reference:
+    mapping_plots.py:25-67 mm_plot_from_IS + the live line of mm_plot at
+    :143 — a single blue breadth-vs-ANI_level line per genome page; the
+    rest of mm_plot is commented out upstream)."""
     db = isdir.get("cumulative_scaffold_table")
-    if db is None or len(db) == 0:
-        raise ValueError("no scaffold table")
+    if db is None or len(db) == 0 or "mm" not in db.columns:
+        raise ValueError(
+            "Plot 1 cannot be created when run with --database_mode or "
+            "--skip_mm_profiling")
+    if db["mm"].nunique() <= 1:
+        raise ValueError(
+            "Plot 1 cannot be created when run with --database_mode or "
+            "--skip_mm_profiling")
     s2b = _genome_of(isdir)
     db = db.copy()
-    allowed = _allowed_scaffolds(isdir, **kwargs)
-    if allowed is not None:
-        db = db[db["scaffold"].isin(allowed)]
     db["genome"] = db["scaffold"].map(s2b)
-    fig, axes = plt.subplots(1, 2, figsize=(10, 4))
+    read_len = int(isdir.get_read_length())
+    allowed_g = _allowed_genomes(isdir, **kwargs)
+    figs = []
     for genome, gdb in db.groupby("genome"):
+        if allowed_g is not None and genome not in allowed_g:
+            continue
+        # genome-wide per-mm rollup (reference mm_genome_info: length-
+        # weighted means, genomeUtilities.py _genome_wide_si_2)
         agg = gdb.groupby("mm").apply(
             lambda d: pd.Series({
-                "coverage": (d["coverage"] * d["length"]).sum() /
-                d["length"].sum(),
                 "breadth": (d["breadth"] * d["length"]).sum() /
+                d["length"].sum(),
+                "coverage": (d["coverage"] * d["length"]).sum() /
                 d["length"].sum()}), include_groups=False).reset_index()
-        axes[0].plot(agg["mm"], agg["coverage"], marker="o", label=genome)
-        axes[1].plot(agg["mm"], agg["breadth"], marker="o", label=genome)
-    axes[0].set_xlabel("read pair mismatches")
-    axes[0].set_ylabel("coverage")
-    axes[1].set_xlabel("read pair mismatches")
-    axes[1].set_ylabel("breadth")
-    if (len(db["genome"].unique()) <= 10 and
-            axes[0].get_legend_handles_labels()[1]):
-        axes[0].legend(fontsize=6)
-    plt.tight_layout()
-    plt.savefig(_figpath(isdir, "CoverageAndBreadth_vs_readMismatch.pdf"))
-    plt.close(fig)
+        agg["ANI_level"] = (read_len - agg["mm"].astype(int)) / read_len
+        agg = agg.sort_values("ANI_level")
+        # the full two-axis layout of the shipped golden figures
+        # (mapping_plots.py:148-166 — blue breadth + dashed expected
+        # breadth, red coverage twin axis, x = minimum read ANI)
+        from ..profile.tables import estimate_breadth as _eb
+        fig, ax1 = plt.subplots()
+        ax1.plot(agg["ANI_level"], agg["breadth"], ls="-", color="blue")
+        ax1.plot(agg["ANI_level"], _eb(agg["coverage"].values), ls="--",
+                 color="lightblue")
+        ax1.set_ylabel("breadth", color="blue")
+        ax1.set_xlabel("Minimum read ANI level")
+        ax1.set_ylim(0, 1)
+        ax2 = ax1.twinx()
+        ax2.plot(agg["ANI_level"], agg["coverage"], ls="-", color="red")
+        ax2.set_ylabel("coverage", color="red")
+        ax2.set_ylim(0,)
+        ax1.set_xlim(1, max(0.9, float(agg["ANI_level"].min())))
+        plt.title(str(genome))
+        fig.set_size_inches(6, 4)
+        figs.append(fig)
+    _save_pages(figs, _figpath(isdir,
+                               "CoverageAndBreadth_vs_readMismatch.pdf"))
 
 
 # 2 ---------------------------------------------------------------------
@@ -190,90 +226,225 @@ def plot_genome_wide_microdiversity(isdir: ProfileDir, **kwargs):
 # 3 ---------------------------------------------------------------------
 
 def plot_read_ani_distribution(isdir: ProfileDir, **kwargs):
-    """Distribution of read-pair ANI (mapping_plots.py)."""
-    rdic = isdir.get("Rdic")
-    mapping = isdir.get("mapping_info")
-    mean_len = float(mapping["mean_pair_length"].iloc[0])
-    mms = []
-    allowed = _allowed_scaffolds(isdir, **kwargs)
-    if isinstance(rdic, dict):
-        for scaff, p2m in rdic.items():
-            if allowed is not None and scaff not in allowed:
-                continue
-            if isinstance(p2m, dict):
-                mms.extend(p2m.values())
-    if not mms:
-        raise ValueError("no mm data (skip_mm_profiling?)")
-    anis = 1 - np.array(mms, dtype=float) / mean_len
-    fig = plt.figure(figsize=(6, 4))
-    plt.hist(anis, bins=100)
-    plt.xlabel("read pair ANI")
-    plt.ylabel("read pairs")
-    plt.tight_layout()
-    plt.savefig(_figpath(isdir, "readANI_distribution.pdf"))
-    plt.close(fig)
+    """Read pairs per exact-mm level as a line over ANI level, one page
+    per genome, x inverted max->min ANI (reference: mapping_plots.py:
+    102-135 ANI_dist_plot_from_IS, prepare_read_ani_dist_plot :169-215,
+    read_ani_dist_plot :218-230). Per-mm coverage comes from the
+    NON-cumulative covT; read_pairs = coverage*length/(2*read_len)."""
+    covT = isdir.get("covT")
+    s2l = isdir.get("scaffold2length")
+    if not covT:
+        raise ValueError("no covT (skip_mm_profiling?)")
+    s2b = _genome_of(isdir)
+    b2l = isdir.get("bin2length")
+    if not isinstance(b2l, dict):
+        from collections import defaultdict
+        b2l = defaultdict(float)
+        for s, b in s2b.items():
+            b2l[b] += float(s2l.get(s, 0))
+    read_len = int(isdir.get_read_length())
+    rows = []
+    for scaffold, mm2counts in covT.items():
+        L = float(s2l[scaffold])
+        for mm, counts in mm2counts.items():
+            rows.append((s2b.get(scaffold), int(mm),
+                         float(np.asarray(counts.values,
+                                          dtype=np.float64).sum()) / L,
+                         L))
+    db = pd.DataFrame(rows, columns=["genome", "mm", "coverage", "length"])
+    if db["mm"].nunique() <= 1:
+        raise ValueError(
+            "Plot 3 cannot be created when run with --database_mode or "
+            "--skip_mm_profiling")
+    allowed_g = _allowed_genomes(isdir, **kwargs)
+    figs = []
+    for genome, gdb in db.groupby("genome"):
+        if allowed_g is not None and genome not in allowed_g:
+            continue
+        gl = float(b2l[genome])
+        agg = gdb.groupby("mm").apply(
+            lambda d: (d["coverage"] * d["length"]).sum() / gl,
+            include_groups=False).rename("coverage").reset_index()
+        agg["read_pairs"] = [int(c * gl / (read_len * 2))
+                             for c in agg["coverage"]]
+        agg["ANI_level"] = (read_len - agg["mm"]) / read_len
+        fig = plt.figure()
+        plt.plot(agg["ANI_level"], agg["read_pairs"])
+        if agg["ANI_level"].max() != agg["ANI_level"].min():
+            plt.gca().set_xlim(agg["ANI_level"].max(),
+                               agg["ANI_level"].min())
+        plt.xlabel("Read ANI level")
+        # the ylabel string (typo included) matches the reference PDF
+        # (mapping_plots.py:229)
+        plt.ylabel("Numbner of read pairs (average length "
+                   "{0}bp)".format(read_len))
+        plt.title(str(genome))
+        fig.set_size_inches(6, 4)
+        fig.tight_layout()
+        figs.append(fig)
+    _save_pages(figs, _figpath(isdir, "readANI_distribution.pdf"))
 
 
 # 4 ---------------------------------------------------------------------
 
 def plot_allele_frequencies(isdir: ProfileDir, **kwargs):
-    """Major allele frequency histogram (SNV_plots.py)."""
-    db = gen.nonredundant_snv_table(isdir)
+    """Major allele frequency histogram, one page per genome (reference:
+    SNV_plots.py:23-77 — major_allele_freq = max(var_freq, ref_freq),
+    bins arange(0.5, 1, 0.01), xlim 0.5-1)."""
+    db = isdir.get("cumulative_snv_table")
     if db is None or len(db) == 0:
         raise ValueError("no SNVs")
+    db = db.sort_values("mm").drop_duplicates(
+        subset=["scaffold", "position"], keep="last").sort_index()
+    db = db[~db["cryptic"].astype(bool)]
     db = db[db["allele_count"] >= 2]
-    allowed = _allowed_scaffolds(isdir, **kwargs)
-    if allowed is not None:
-        db = db[db["scaffold"].isin(allowed)]
-    fig = plt.figure(figsize=(6, 4))
-    plt.hist(db["var_freq"], bins=50)
-    plt.xlabel("minor allele frequency")
-    plt.ylabel("SNVs")
-    plt.tight_layout()
-    plt.savefig(_figpath(isdir, "MajorAllele_frequency_plot.pdf"))
-    plt.close(fig)
+    s2b = _genome_of(isdir)
+    db = db.copy()
+    db["genome"] = db["scaffold"].map(s2b)
+    allowed_g = _allowed_genomes(isdir, **kwargs)
+    figs = []
+    for genome, gdb in db.groupby("genome"):
+        if allowed_g is not None and genome not in allowed_g:
+            continue
+        vf, rf = gdb["var_freq"].values, gdb["ref_freq"].values
+        # python max(var, nan) returns var (SNV_plots.py:71), so a NaN
+        # ref_freq falls back to var_freq rather than dropping the row
+        maf = np.where(np.isnan(rf), vf, np.maximum(vf, rf))
+        maf = maf[~np.isnan(maf)]
+        fig = plt.figure()
+        if len(maf):
+            # seaborn histplot's binwidth=0.005 overrides its bins arg
+            # (SNV_plots.py:72): 0.005-wide bins over the data range
+            edges = np.arange(maf.min(), maf.max() + 0.005, 0.005)
+            plt.hist(maf, bins=edges if len(edges) > 1 else 1)
+        plt.xlim(0.5, 1)
+        plt.title(str(genome))
+        plt.xlabel("Major allele frequency")
+        plt.ylabel("Number of SNPs")
+        fig.set_size_inches(6, 4)
+        fig.tight_layout()
+        figs.append(fig)
+    _save_pages(figs, _figpath(isdir, "MajorAllele_frequency_plot.pdf"))
 
 
 # 5 ---------------------------------------------------------------------
 
+_LD_COLS = ["r2", "r2_normalized", "d_prime", "d_prime_normalized"]
+
+
+def _ld_window_means(db: pd.DataFrame, chunk_size: int = 5,
+                     min_vals: Optional[int] = 5,
+                     max_d: Optional[int] = None) -> pd.DataFrame:
+    """Window the linkage table into [i*chunk, (i+1)*chunk) distance bins
+    and mean each LD metric per bin; a bin's metric is NaN when fewer than
+    min_vals non-NaN values land in it (reference: linkage_plots.py:
+    106-130 linkage_decay_plot's chunking). `max_d` fixes the window grid
+    (the reference shares one grid across a genome's link types)."""
+    dist = db["distance"].astype(int).values
+    if max_d is None:
+        max_d = int(db["distance"].max())
+    n_chunks = int(max_d) // chunk_size + 1
+    idx = np.minimum(dist // chunk_size, n_chunks - 1)
+    out = {"distance": [(i + 0.5) * chunk_size for i in range(n_chunks)]}
+    for col in _LD_COLS:
+        v = db[col].values.astype(float)
+        ok = ~np.isnan(v)
+        cnt = np.bincount(idx[ok], minlength=n_chunks)
+        s = np.bincount(idx[ok], weights=v[ok], minlength=n_chunks)
+        with np.errstate(invalid="ignore", divide="ignore"):
+            mean = np.where(cnt > 0, s / np.maximum(cnt, 1), np.nan)
+        if min_vals is not None:
+            mean = np.where(cnt >= min_vals, mean, np.nan)
+        out[col] = mean
+    return pd.DataFrame(out)
+
+
 def plot_linkage_decay(isdir: ProfileDir, **kwargs):
-    """r2 / D' vs distance (linkage_plots.py)."""
-    db = gen.nonredundant_linkage_table(isdir)
+    """r2 / r2_normalized / d_prime / d_prime_normalized vs SNP distance
+    in 5 bp windows (>=5 values per plotted window), one page per genome
+    (reference: linkage_plots.py:23-58, 106-139)."""
+    db = isdir.get("raw_linkage_table")
     if db is None or len(db) == 0:
         raise ValueError("no linkage")
-    allowed = _allowed_scaffolds(isdir, **kwargs)
-    if allowed is not None:
-        db = db[db["scaffold"].isin(allowed)]
-    fig, axes = plt.subplots(1, 2, figsize=(10, 4))
-    bins = np.arange(0, db["distance"].max() + 50, 50)
+    db = db.sort_values("mm").drop_duplicates(
+        subset=["scaffold", "position_A", "position_B"],
+        keep="last").sort_index()
+    s2b = _genome_of(isdir)
     db = db.copy()
-    db["bin"] = pd.cut(db["distance"], bins)
-    for ax, col in zip(axes, ["r2", "d_prime"]):
-        means = db.groupby("bin", observed=True)[col].mean()
-        mids = [b.mid for b in means.index]
-        ax.plot(mids, means.values, marker="o", ms=3)
-        ax.set_xlabel("distance (bp)")
-        ax.set_ylabel(col)
-    plt.tight_layout()
-    plt.savefig(_figpath(isdir, "LinkageDecay_plot.pdf"))
-    plt.close(fig)
+    db["genome"] = db["scaffold"].map(s2b)
+    allowed_g = _allowed_genomes(isdir, **kwargs)
+    figs = []
+    for genome, gdb in db.groupby("genome"):
+        if allowed_g is not None and genome not in allowed_g:
+            continue
+        w = _ld_window_means(gdb, chunk_size=5, min_vals=5)
+        fig = plt.figure()
+        for col in _LD_COLS:
+            plt.plot(w["distance"], w[col], label=col, marker="o", ms=4)
+        plt.title(str(genome))
+        plt.xlabel("Distance between SNPs (bp)\nAveraged over 5bp "
+                   "windows; plotting windows with at least 5 values")
+        plt.ylabel("SNP linkage")
+        plt.legend()
+        fig.set_size_inches(6, 4)
+        fig.tight_layout()
+        figs.append(fig)
+    _save_pages(figs, _figpath(isdir, "LinkageDecay_plot.pdf"))
 
 
 # 6 ---------------------------------------------------------------------
 
 def plot_read_filtering(isdir: ProfileDir, **kwargs):
-    """Read filtering tallies (mapping_plots.py)."""
+    """Read filtering tallies: horizontal bars sorted descending, grey
+    with 'Total filtered pairs' green, percent-of-mapped-pairs annotations
+    (reference: mapping_plots.py:69-99, 233-276 read_filtering_plot)."""
     db = isdir.get("mapping_info")
     row = db[db["scaffold"] == "all_scaffolds"].iloc[0]
-    cols = [c for c in db.columns if c.startswith(("unfiltered_", "pass_",
-                                                   "filtered_"))]
-    fig = plt.figure(figsize=(7, 4))
-    vals = [float(row[c]) for c in cols]
-    plt.barh(range(len(cols)), vals)
-    plt.yticks(range(len(cols)), cols, fontsize=7)
-    plt.xlabel("reads / pairs")
-    plt.tight_layout()
-    plt.savefig(_figpath(isdir, "ReadFiltering_plot.pdf"))
+    keep_cols = ([c for c in db.columns if "pass" in c] +
+                 ["unfiltered_reads", "unfiltered_pairs", "filtered_pairs"])
+    c2c = {"unfiltered_reads": "Total mapping reads (divided by 2)",
+           "unfiltered_pairs": "Total mapped pairs",
+           "pass_min_mapq": "Pairs passing mapQ threshold",
+           "pass_max_insert": "Pairs passing max insert size threshold",
+           "pass_min_insert": "Pairs passing min insert size threshold",
+           "pass_filter_cutoff": "Pairs passing ANI threshold",
+           "filtered_pairs": "Total filtered pairs"}
+    melted = pd.DataFrame({
+        "variable": [c2c.get(c, c) for c in keep_cols],
+        "value": [int(row[c] / 2) if c == "unfiltered_reads"
+                  else float(row[c]) for c in keep_cols]})
+    melted = melted.sort_values(["value", "variable"], ascending=False)
+    colors = ["green" if v == "Total filtered pairs" else "grey"
+              for v in melted["variable"]]
+
+    fig = plt.figure()
+    ax = plt.gca()
+    ax.barh(range(len(melted)), melted["value"], color=colors)
+    ax.set_yticks(range(len(melted)))
+    ax.set_yticklabels(melted["variable"])
+    ax.invert_yaxis()  # seaborn barplot draws the first row on top
+    plt.xlabel("Number of read pairs")
+    plt.ylabel("")
+    offset = melted["value"].max() / 12
+    total_rows = melted[melted["variable"] == "Total mapped pairs"]["value"]
+    total = float(total_rows.iloc[0]) if len(total_rows) else 0.0
+    if total > 0:
+        # annotate every bar but the first with its % of mapped pairs
+        # (mapping_plots.py:262-270)
+        for i, (v, w) in enumerate(zip(melted["variable"],
+                                       melted["value"])):
+            if i == 0:
+                continue
+            plt.text(offset + w, i, "{:1.0f}%".format(w / total * 100),
+                     ha="center", va="center")
+    ax.spines["right"].set_visible(False)
+    ax.spines["top"].set_visible(False)
+    plt.title("all scaffolds")
+    fig.set_size_inches(6, 4)
+    fig.tight_layout()
+    from matplotlib.backends.backend_pdf import PdfPages
+    with PdfPages(_figpath(isdir, "ReadFiltering_plot.pdf")) as pp:
+        pp.savefig(fig)
     plt.close(fig)
 
 
@@ -320,64 +491,98 @@ def plot_scaffold_inspection(isdir: ProfileDir, **kwargs):
 # 8 ---------------------------------------------------------------------
 
 def plot_linkage_decay_types(isdir: ProfileDir, **kwargs):
-    """Linkage decay split by S/N mutation types (linkage_plots.py).
-    Requires gene profiling."""
-    db = gen.nonredundant_linkage_table(isdir)
+    """Linkage decay (r2, 5 bp windows) split by mutation-type pair, one
+    page per genome (reference: linkage_plots.py:60-104, 141-196).
+    Requires gene profiling. The reference builds windows for the
+    link_type key 'S=S' but plots 'S-S' (:163 vs :185), so its S-S line
+    is always empty — only 'N-N' and 'all' render; reproduced here."""
+    db = isdir.get("raw_linkage_table")
     mdb = isdir.get("SNP_mutation_types")
     if db is None or len(db) == 0 or mdb is None or len(mdb) == 0:
         raise ValueError("needs linkage + genes")
-    allowed = _allowed_scaffolds(isdir, **kwargs)
-    if allowed is not None:
-        db = db[db["scaffold"].isin(allowed)]
-    p2t = mdb.set_index(["scaffold", "position"])["mutation_type"].to_dict()
+    db = db.sort_values("mm").drop_duplicates(
+        subset=["scaffold", "position_A", "position_B"],
+        keep="last").sort_index()
+    k2t = {(s, p): t for s, p, t in zip(
+        mdb["scaffold"], mdb["position"], mdb["mutation_type"])}
+
+    def link_type(s, pa, pb):
+        ka, kb = (s, pa), (s, pb)
+        if ka in k2t and kb in k2t:
+            return f"{k2t[ka]}-{k2t[kb]}"
+        return np.nan
+
     db = db.copy()
-    db["type_A"] = [p2t.get((s, p), "?") for s, p in
-                    zip(db["scaffold"], db["position_A"])]
-    db["type_B"] = [p2t.get((s, p), "?") for s, p in
-                    zip(db["scaffold"], db["position_B"])]
-    db["pair_type"] = ["".join(sorted([a, b])) for a, b in
-                       zip(db["type_A"], db["type_B"])]
-    fig = plt.figure(figsize=(7, 4))
-    bins = np.arange(0, db["distance"].max() + 100, 100)
-    for ptype, pdb in db.groupby("pair_type"):
-        if len(pdb) < 5:
+    db["link_type"] = [link_type(s, pa, pb) for s, pa, pb in zip(
+        db["scaffold"], db["position_A"], db["position_B"])]
+    s2b = _genome_of(isdir)
+    db["genome"] = db["scaffold"].map(s2b)
+    allowed_g = _allowed_genomes(isdir, **kwargs)
+    figs = []
+    for genome, gdb in db.groupby("genome"):
+        if allowed_g is not None and genome not in allowed_g:
             continue
-        binned = pd.cut(pdb["distance"], bins)
-        means = pdb.groupby(binned, observed=True)["r2"].mean()
-        plt.plot([b.mid for b in means.index], means.values, marker="o",
-                 ms=2, label=ptype)
-    plt.xlabel("distance (bp)")
-    plt.ylabel("r2")
-    if plt.gca().get_legend_handles_labels()[1]:
-        plt.legend(fontsize=7)
-    plt.tight_layout()
-    plt.savefig(_figpath(isdir, "LinkageDecay_types_plot.pdf"))
-    plt.close(fig)
+        fig = plt.figure()
+        for lt_build, lt_label in (("S=S", "S-S"), ("N-N", "N-N"),
+                                   ("all", "all")):
+            sel = gdb if lt_build == "all" else \
+                gdb[gdb["link_type"] == lt_build]
+            if len(sel):
+                # no min_vals masking here — the reference's
+                # linkage_decay_type computes but never applies it
+                w = _ld_window_means(sel, chunk_size=5, min_vals=None,
+                                     max_d=int(gdb["distance"].max()))
+                plt.plot(w["distance"], w["r2"], label=lt_label,
+                         marker="o", ms=4)
+        plt.title(str(genome))
+        plt.xlabel("Distance between SNPs (bp)\nAveraged over 5bp "
+                   "windows; plotting windows with at least 2 values")
+        plt.ylabel("SNP linkage")
+        if plt.gca().get_legend_handles_labels()[1]:
+            plt.legend()
+        fig.set_size_inches(6, 4)
+        fig.tight_layout()
+        figs.append(fig)
+    _save_pages(figs, _figpath(isdir, "LinkageDecay_types_plot.pdf"))
 
 
 # 9 ---------------------------------------------------------------------
 
 def plot_gene_histograms(isdir: ProfileDir, **kwargs):
-    """Gene-level metric histograms (gene_plots.py). Requires genes."""
+    """Gene-level sorted rank plots — each metric's values descending vs
+    gene index, stacked rows sharing x, one page per genome (reference:
+    gene_plots.py:23-87; despite the PDF name these are rank plots, not
+    histograms, and SNPs_per_bp is absent upstream so the rendered rows
+    are coverage and nucl_diversity)."""
     db = gen.generate(isdir, "gene_info", store=False, return_table=True)
     if db is None or len(db) == 0:
         raise ValueError("needs genes")
-    allowed = _allowed_scaffolds(isdir, **kwargs)
-    if allowed is not None and "scaffold" in db.columns:
-        db = db[db["scaffold"].isin(allowed)]
-    cols = [c for c in ["coverage", "breadth", "nucl_diversity",
-                        "pNpS_variants"] if c in db.columns]
-    fig, axes = plt.subplots(1, len(cols), figsize=(3 * len(cols), 3))
-    if len(cols) == 1:
-        axes = [axes]
-    for ax, col in zip(axes, cols):
-        vals = db[col].dropna()
-        if len(vals):
-            ax.hist(vals, bins=30)
-        ax.set_xlabel(col)
-    plt.tight_layout()
-    plt.savefig(_figpath(isdir, "GeneHistogram_plot.pdf"))
-    plt.close(fig)
+    s2b = _genome_of(isdir)
+    db = db.copy()
+    db["genome"] = db["scaffold"].map(s2b)
+    allowed_g = _allowed_genomes(isdir, **kwargs)
+    cols = [c for c in ["coverage", "nucl_diversity", "SNPs_per_bp"]
+            if c in db.columns]
+    figs = []
+    for genome, gdb in db.groupby("genome"):
+        if allowed_g is not None and genome not in allowed_g:
+            continue
+        fig, axes = plt.subplots(max(len(cols), 1), 1, sharex=True,
+                                 squeeze=False)
+        for i, col in enumerate(cols):
+            ax = axes[i][0]
+            vals = gdb[col].sort_values(ascending=False).reset_index(
+                drop=True)
+            ax.axvline(0, c="black")
+            ax.axhline(0, c="black")
+            ax.plot(vals.index, vals.values, marker="o", ms=1)
+            ax.set_ylabel(str(col))
+        axes[-1][0].set_xlabel("gene index")
+        fig.suptitle(str(genome), y=0.999)
+        fig.set_size_inches(8, 5)
+        fig.tight_layout()
+        figs.append(fig)
+    _save_pages(figs, _figpath(isdir, "GeneHistogram_plot.pdf"))
 
 
 # 10 --------------------------------------------------------------------
