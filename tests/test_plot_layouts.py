@@ -1,0 +1,141 @@
+"""
+Layout-fidelity regression tests for the rewritten plots: assert the
+PDFs' rendered TEXT (axis labels, legends, titles, tick sets) matches the
+reference's figure layouts (inStrain/plotting/mapping_plots.py,
+SNV_plots.py, linkage_plots.py, gene_plots.py — verified label-for-label
+against the shipped sars golden figure PDFs).
+"""
+
+import os
+import re
+import zlib
+
+import pytest
+
+from tests.test_plots_special import BAM, FASTA, GENES  # noqa: F401
+
+pytestmark = pytest.mark.skipif(not os.path.exists(BAM),
+                                reason="test data missing")
+
+
+def pdf_text(path):
+    """Every text string shown by the PDF's content streams."""
+    data = open(path, "rb").read()
+    out = []
+    for m in re.finditer(rb"stream\r?\n(.*?)endstream", data, re.S):
+        try:
+            s = zlib.decompress(m.group(1))
+        except Exception:
+            continue
+        for t in re.finditer(rb"\((.*?)(?<!\\)\)\s*Tj", s, re.S):
+            out.append(t.group(1).decode("latin1"))
+        for t in re.finditer(rb"\[(.*?)\]\s*TJ", s, re.S):
+            parts = re.findall(rb"\((.*?)(?<!\\)\)", t.group(1), re.S)
+            out.append("".join(p.decode("latin1") for p in parts))
+    return [x.replace("\\(", "(").replace("\\)", ")") for x in out]
+
+
+@pytest.fixture(scope="module")
+def figures(tmp_path_factory, ref_null_model):
+    from instrain_tpu.config import ProfileConfig
+    from instrain_tpu.profile.pipeline import profile
+    from instrain_tpu.plotting.controller import make_plots
+    base = tmp_path_factory.mktemp("plotfid")
+    stb = base / "g.stb"
+    with open(stb, "w") as f:
+        f.write("N5_271_010G1_scaffold_0\tgenomeA\n")
+    out = str(base / "p.IS")
+    cfg = ProfileConfig(output=out, gene_file=GENES, stb=[str(stb)],
+                        skip_plot_generation=True)
+    cfg.variant.null_model = ref_null_model
+    profile(BAM, FASTA, cfg)
+    make_plots(out, plots=[str(i) for i in range(1, 10)])
+    figdir = os.path.join(out, "figures")
+    return {f.split(".IS_")[1]: os.path.join(figdir, f)
+            for f in os.listdir(figdir)}
+
+
+def test_plot1_layout(figures):
+    txt = pdf_text(figures["CoverageAndBreadth_vs_readMismatch.pdf"])
+    # two-axis layout: breadth (left, 0-1) + coverage (right), x = min ANI
+    assert "Minimum read ANI level" in txt
+    assert "breadth" in txt and "coverage" in txt
+    assert "genomeA" in txt  # per-genome page title
+
+
+def test_plot3_layout(figures):
+    txt = pdf_text(figures["readANI_distribution.pdf"])
+    assert "Read ANI level" in txt
+    # the reference ylabel (typo included, mapping_plots.py:229)
+    assert any(t.startswith("Numbner of read pairs (average length")
+               for t in txt)
+    assert "genomeA" in txt
+
+
+def test_plot4_layout(figures):
+    txt = pdf_text(figures["MajorAllele_frequency_plot.pdf"])
+    assert "Major allele frequency" in txt
+    assert "Number of SNPs" in txt
+    assert "genomeA" in txt
+
+
+@pytest.fixture(scope="module")
+def sars_figures(tmp_path_factory, sars_bam, sars_ref_seq, ref_null_model):
+    """Plots 5 and 8 need linkage + genes — the tiny failureScaffold BAM
+    has neither; the sars fixture has both (genes from the .gb)."""
+    from instrain_tpu.config import ProfileConfig
+    from instrain_tpu.profile.pipeline import profile
+    from instrain_tpu.plotting.controller import make_plots
+    base = tmp_path_factory.mktemp("plotfid_sars")
+    fasta = base / "sars.fasta"
+    with open(fasta, "w") as f:
+        f.write(">MT039887.1\n" + sars_ref_seq.tobytes().decode() + "\n")
+    out = str(base / "p.IS")
+    cfg = ProfileConfig(
+        output=out, skip_plot_generation=True, skip_genome_wide=True,
+        gene_file="/root/reference/test/test_data/sars_cov_2_MT039887.1.gb")
+    cfg.variant.null_model = ref_null_model
+    profile(sars_bam, str(fasta), cfg)
+    make_plots(out, plots=["5", "8"])
+    figdir = os.path.join(out, "figures")
+    return {f.split(".IS_")[1]: os.path.join(figdir, f)
+            for f in os.listdir(figdir)}
+
+
+def test_plot5_layout(sars_figures):
+    txt = pdf_text(sars_figures["LinkageDecay_plot.pdf"])
+    assert "Distance between SNPs (bp)" in txt
+    assert ("Averaged over 5bp windows; plotting windows with at least "
+            "5 values") in txt
+    assert "SNP linkage" in txt
+    for col in ("r2", "r2_normalized", "d_prime", "d_prime_normalized"):
+        assert col in txt  # legend entries
+
+
+def test_plot6_layout(figures):
+    txt = pdf_text(figures["ReadFiltering_plot.pdf"])
+    assert "Number of read pairs" in txt
+    assert "Total mapping reads (divided by 2)" in txt
+    assert "Total mapped pairs" in txt
+    assert "Total filtered pairs" in txt
+    # percent annotations on the bars
+    assert any(t.endswith("%") for t in txt)
+    assert "all scaffolds" in txt
+
+
+def test_plot8_layout(sars_figures):
+    txt = pdf_text(sars_figures["LinkageDecay_types_plot.pdf"])
+    assert "SNP linkage" in txt
+    # the reference's S=S/S-S key mismatch leaves only N-N and all
+    # rendered (linkage_plots.py:163 vs :185)
+    assert "all" in txt
+    assert "S-S" not in txt
+
+
+def test_plot9_layout(figures):
+    txt = pdf_text(figures["GeneHistogram_plot.pdf"])
+    # sorted rank plots stacked per metric, not histograms
+    assert "gene index" in txt
+    assert "coverage" in txt
+    assert "nucl_diversity" in txt
+    assert "genomeA" in txt
