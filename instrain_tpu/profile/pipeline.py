@@ -177,19 +177,23 @@ def _profile_impl(bam_path: str, fasta_path: str, cfg: ProfileConfig,
             engine = "batch" if len(keep_local) >= 16 else "hybrid"
     stream: Dict[str, object] = {}
     if engine == "batch" and len(keep_local) > 1:
-        if not multi_host:
-            # single-host: write covT/clonT/clonTR hd5 datasets as each
-            # scaffold's result lands, overlapping the device loop (the
-            # multi-host path must store the post-allgather union, so it
-            # keeps the bulk store)
-            stream = {k: isdir.open_special_stream(k, d)
-                      for k, d in _SPECIAL_DESCR.items()}
+        # write covT/clonT/clonTR hd5 datasets as each scaffold's result
+        # lands, overlapping the device loop. Under multi-host the
+        # payloads KEEP their special views (other hosts need them over
+        # the allgather); the gathered scaffolds' datasets are written
+        # through the same writers after the gather below.
+        stream = {k: isdir.open_special_stream(k, d)
+                  for k, d in _SPECIAL_DESCR.items()}
         try:
-            finals = _profile_scaffolds_batched(bam, pairs, registry,
-                                                keep_local, cfg, null_lut,
-                                                freq_lut, gene_data,
-                                                mesh=mesh, stream=stream)
-        finally:
+            finals = _profile_scaffolds_batched(
+                bam, pairs, registry, keep_local, cfg, null_lut,
+                freq_lut, gene_data, mesh=mesh, stream=stream,
+                keep_special_payload=multi_host)
+        except BaseException:
+            for w in stream.values():
+                w.abort()
+            raise
+        if not multi_host:
             for w in stream.values():
                 w.close()
     else:
@@ -211,12 +215,30 @@ def _profile_impl(bam_path: str, fasta_path: str, cfg: ProfileConfig,
     if multi_host:
         from ..parallel.distributed import allgather_tables
         log_checkpoint("main_profile", "allgather_results", "start")
+        local_names = {r["name"] for r in finals}
         finals = allgather_tables(finals)
         # canonical single-process order (keep is sorted identically on
         # every host), so multi-host output is byte-identical to 1-proc
         order = {n: i for i, n in enumerate(keep)}
         finals.sort(key=lambda r: order.get(r["name"], len(order)))
         log_checkpoint("main_profile", "allgather_results", "end")
+        if stream:
+            # own scaffolds were hd5-streamed inside the device-loop
+            # overlap window; write the gathered remainder now and drop
+            # every special view from the payloads (all prewritten)
+            try:
+                for fin in finals:
+                    mine = fin["name"] in local_names
+                    for attr, w in stream.items():
+                        view = fin.pop(attr)
+                        if not mine:
+                            w.write(fin["name"], view)
+            except BaseException:
+                for w in stream.values():
+                    w.abort()
+                raise
+            for w in stream.values():
+                w.close()
     _store_results(isdir, finals, bam_path, cfg, gene_data,
                    prewritten=frozenset(stream))
     log_checkpoint("main_profile", "profile_scaffolds", "end")
@@ -378,7 +400,7 @@ _SPECIAL_DESCR = {
 
 def _profile_scaffolds_batched(bam, pairs, registry, keep, cfg, null_lut,
                                freq_lut, gene_data, mesh=None,
-                               stream=None):
+                               stream=None, keep_special_payload=False):
     """Many-scaffold path: one vmapped kernel launch per (M, L) shape
     bucket instead of one per scaffold (metagenome assemblies commonly
     have thousands of small contigs; per-launch dispatch would dominate).
@@ -433,7 +455,10 @@ def _profile_scaffolds_batched(bam, pairs, registry, keep, cfg, null_lut,
         fin = _finalize_result(result, cfg)
         if stream:
             for attr, writer in stream.items():
-                writer.write(name, fin.pop(attr))
+                # multi-host keeps the view in the payload: peer hosts
+                # receive it over the allgather and write it themselves
+                writer.write(name, fin[attr] if keep_special_payload
+                             else fin.pop(attr))
         finals_map[i] = fin
 
     finals_map: Dict[int, Dict] = {}
