@@ -197,12 +197,16 @@ def bench_batch_metagenome():
     wrap("build_scaffold_pileup", "pileup_build")
     try:
         compact.TIMINGS = {}
+        pl.PHASES = phases  # main-thread wall accounting (pipeline.py)
+        t0 = time.time()
         run(os.path.join(workdir, "instr.IS"))
+        phases["instr_wall"] = time.time() - t0
         phases.update(compact.TIMINGS)
     finally:
         for name, fn in orig.items():
             setattr(pl, name, fn)
         compact.TIMINGS = None
+        pl.PHASES = None
     return {
         "pairs_per_sec": round(n_pairs / steady, 1),
         "vs_baseline": round(n_pairs / steady / BASELINE_PAIRS_PER_SEC, 2),

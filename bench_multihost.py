@@ -55,10 +55,23 @@ def run_workers(nproc, bam, fasta, workdir, tag):
              os.path.join(workdir, f"{tag}{i}")],
             env=env, stdout=log, stderr=subprocess.STDOUT))
         time.sleep(1.0)
-    for p in procs:
-        p.wait(timeout=1800)
-    for log in logs:
-        log.close()
+    try:
+        for p in procs:
+            p.wait(timeout=1800)
+    finally:
+        # never orphan a core-pinned sibling: if one worker hangs or the
+        # coordinator dies, kill the rest (exact PIDs, never by pattern)
+        for p in procs:
+            if p.poll() is None:
+                p.terminate()
+        for p in procs:
+            try:
+                p.wait(timeout=10)
+            except subprocess.TimeoutExpired:
+                p.kill()
+                p.wait()
+        for log in logs:
+            log.close()
     outs = []
     for i in range(nproc):
         txt = open(os.path.join(workdir, f"{tag}{i}.log")).read()

@@ -18,6 +18,11 @@ from ..store.profile_dir import ProfileDir
 def make_plots(isdir: ProfileDir, plots: Union[str, List[str]] = "a",
                **kwargs):
     from . import plots as P
+    import matplotlib
+    # re-assert per call: ambient code (tests, user scripts) may have reset
+    # rcParams since plots.py was imported (reference pins it per module,
+    # plotting/positional_plots.py:10)
+    matplotlib.rcParams["pdf.fonttype"] = 42
     if isinstance(isdir, str):
         isdir = ProfileDir(isdir)
     registry = {

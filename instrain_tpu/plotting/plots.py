@@ -10,6 +10,10 @@ from typing import Optional
 
 import matplotlib
 matplotlib.use("Agg")
+# TrueType (Type-42) fonts so figure text stays editable, matching every
+# reference plotting module (e.g. plotting/positional_plots.py:10,
+# mapping_plots.py:13, SNV_plots.py:12).
+matplotlib.rcParams["pdf.fonttype"] = 42
 import matplotlib.pyplot as plt  # noqa: E402
 import numpy as np  # noqa: E402
 import pandas as pd  # noqa: E402
@@ -97,10 +101,9 @@ def plot_coverage_breadth_vs_mm(isdir: ProfileDir, **kwargs):
         raise ValueError(
             "Plot 1 cannot be created when run with --database_mode or "
             "--skip_mm_profiling")
-    if db["mm"].nunique() <= 1:
-        raise ValueError(
-            "Plot 1 cannot be created when run with --database_mode or "
-            "--skip_mm_profiling")
+    # NOTE: no nunique()<=1 gate here — the reference applies that check
+    # only to plot 3 (mapping_plots.py:105-107); a single-mm run renders
+    # a flat line upstream and does here too
     s2b = _genome_of(isdir)
     db = db.copy()
     db["genome"] = db["scaffold"].map(s2b)
@@ -495,7 +498,9 @@ def plot_linkage_decay_types(isdir: ProfileDir, **kwargs):
     page per genome (reference: linkage_plots.py:60-104, 141-196).
     Requires gene profiling. The reference builds windows for the
     link_type key 'S=S' but plots 'S-S' (:163 vs :185), so its S-S line
-    is always empty — only 'N-N' and 'all' render; reproduced here."""
+    is always empty — yet seaborn still adds an 'S-S' legend entry for
+    the empty selection; reproduced here (empty line artist, data-less
+    legend entry)."""
     db = isdir.get("raw_linkage_table")
     mdb = isdir.get("SNP_mutation_types")
     if db is None or len(db) == 0 or mdb is None or len(mdb) == 0:
@@ -534,6 +539,11 @@ def plot_linkage_decay_types(isdir: ProfileDir, **kwargs):
                                      max_d=int(gdb["distance"].max()))
                 plt.plot(w["distance"], w["r2"], label=lt_label,
                          marker="o", ms=4)
+            else:
+                # reference passes the empty selection to sns.lineplot
+                # with label='S-S' (linkage_plots.py:189), which still
+                # registers the legend entry
+                plt.plot([], [], label=lt_label, marker="o", ms=4)
         plt.title(str(genome))
         plt.xlabel("Distance between SNPs (bp)\nAveraged over 5bp "
                    "windows; plotting windows with at least 2 values")

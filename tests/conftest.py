@@ -29,6 +29,22 @@ REF_DATA = "/root/reference/test/test_data"
 REF_NULL = "/root/reference/inStrain/helper_files/NullModel.txt"
 
 
+@pytest.fixture(autouse=True, scope="module")
+def _isolate_ambient_globals():
+    """Order-independence guard: reference-oracle imports (and product
+    plotting modules) mutate matplotlib.rcParams process-wide; snapshot and
+    restore per test module so no module can poison a later one."""
+    try:
+        import matplotlib
+        saved = matplotlib.rcParams.copy()
+    except ImportError:
+        saved = None
+    yield
+    if saved is not None:
+        import matplotlib
+        dict.update(matplotlib.rcParams, saved)
+
+
 def _require(path):
     if not os.path.exists(path):
         pytest.skip(f"reference fixture {path} not available")

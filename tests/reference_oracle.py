@@ -69,4 +69,20 @@ def import_reference(module: str):
     if REF_ROOT not in sys.path:
         sys.path.insert(0, REF_ROOT)
     import importlib
-    return importlib.import_module(module)
+    # The reference module chain mutates matplotlib.rcParams process-wide
+    # at import time (e.g. inStrain/plotting/positional_plots.py:10 sets
+    # pdf.fonttype=42); snapshot/restore so an oracle import can't poison
+    # unrelated tests in the same process.
+    try:
+        import matplotlib
+        saved = matplotlib.rcParams.copy()
+    except ImportError:
+        saved = None
+    try:
+        return importlib.import_module(module)
+    finally:
+        if saved is not None:
+            import matplotlib
+            # bypass validation: a straight .update() warns on deprecated
+            # keys present in the copy
+            dict.update(matplotlib.rcParams, saved)

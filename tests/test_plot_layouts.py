@@ -18,6 +18,23 @@ pytestmark = pytest.mark.skipif(not os.path.exists(BAM),
                                 reason="test data missing")
 
 
+def _decode_pdf_string(b):
+    """Decode a PDF literal-string payload from matplotlib's pdf backend.
+
+    fonttype 3 writes 1-byte latin1 codes; fonttype 42 (the product
+    setting, matching the reference's pdf.fonttype=42) writes 2-byte
+    UTF-16BE codes, recognizable by embedded NUL bytes.
+    """
+    b = (b.replace(b"\\(", b"(").replace(b"\\)", b")")
+          .replace(b"\\\\", b"\\"))
+    if b"\x00" in b:
+        try:
+            return b.decode("utf-16-be")
+        except UnicodeDecodeError:
+            pass
+    return b.decode("latin1")
+
+
 def pdf_text(path):
     """Every text string shown by the PDF's content streams."""
     data = open(path, "rb").read()
@@ -28,11 +45,11 @@ def pdf_text(path):
         except Exception:
             continue
         for t in re.finditer(rb"\((.*?)(?<!\\)\)\s*Tj", s, re.S):
-            out.append(t.group(1).decode("latin1"))
+            out.append(_decode_pdf_string(t.group(1)))
         for t in re.finditer(rb"\[(.*?)\]\s*TJ", s, re.S):
             parts = re.findall(rb"\((.*?)(?<!\\)\)", t.group(1), re.S)
-            out.append("".join(p.decode("latin1") for p in parts))
-    return [x.replace("\\(", "(").replace("\\)", ")") for x in out]
+            out.append("".join(_decode_pdf_string(p) for p in parts))
+    return out
 
 
 @pytest.fixture(scope="module")
@@ -126,10 +143,33 @@ def test_plot6_layout(figures):
 def test_plot8_layout(sars_figures):
     txt = pdf_text(sars_figures["LinkageDecay_types_plot.pdf"])
     assert "SNP linkage" in txt
-    # the reference's S=S/S-S key mismatch leaves only N-N and all
-    # rendered (linkage_plots.py:163 vs :185)
+    # the reference's S=S/S-S key mismatch leaves the S-S line empty but
+    # its legend entry rendered (linkage_plots.py:163 vs :185-189)
     assert "all" in txt
-    assert "S-S" not in txt
+    assert "S-S" in txt
+
+
+def test_layout_after_oracle_import(figures):
+    """Regression (round-3 verdict): importing a reference oracle module
+    that pulls in inStrain.plotting mutates matplotlib.rcParams
+    process-wide (pdf.fonttype 3->42, positional_plots.py:10). A layout
+    test must pass immediately after such an import — both re-rendering
+    and re-parsing."""
+    import matplotlib
+
+    from tests.reference_oracle import import_reference
+    before = matplotlib.rcParams["pdf.fonttype"]
+    import_reference("inStrain.GeneProfile")
+    # the oracle import no longer leaks rcParams mutations
+    assert matplotlib.rcParams["pdf.fonttype"] == before
+    # re-render a plot in this (post-import) process state and parse it
+    from instrain_tpu.plotting.controller import make_plots
+    out = os.path.dirname(os.path.dirname(
+        figures["MajorAllele_frequency_plot.pdf"]))
+    make_plots(out, plots=["4"])
+    txt = pdf_text(figures["MajorAllele_frequency_plot.pdf"])
+    assert "Major allele frequency" in txt
+    assert "genomeA" in txt
 
 
 def test_plot9_layout(figures):
