@@ -59,11 +59,20 @@ def main():
         t0 = time.time()
         run(os.path.join(workdir, "warm.IS"))
         warm = time.time() - t0
-        steadies = []
+        steadies, iter_phases = [], []
         for i in range(REPEATS):
+            # per-iteration phase accounting so a relay stall is
+            # attributable (the r03 sweep hid a 709 s iteration behind
+            # min-of-N; the in-run stall watchdog also logs it live)
+            ph = {}
+            pl.PHASES = ph
             t0 = time.time()
-            run(os.path.join(workdir, f"s{i}.IS"))
+            try:
+                run(os.path.join(workdir, f"s{i}.IS"))
+            finally:
+                pl.PHASES = None
             steadies.append(time.time() - t0)
+            iter_phases.append({k: round(v, 2) for k, v in ph.items()})
         steady = min(steadies)
         row = {
             "scaffolds": S,
@@ -74,6 +83,7 @@ def main():
             "warmup_s": round(warm, 2),
             "steady_s": round(steady, 2),
             "steady_all_s": [round(x, 2) for x in steadies],
+            "steady_phases": iter_phases,
         }
         rows.append(row)
         print(json.dumps(row), flush=True)

@@ -83,10 +83,11 @@ def _load_lib():
         ct.c_void_p, ct.c_int32, ct.POINTER(ct.c_int32), ct.c_int32,
         ct.c_int64, ct.c_int64, ct.POINTER(ct.c_int16),
         ct.POINTER(ct.c_int64), ct.POINTER(ct.c_int32), ct.c_uint8]
-    lib.bd_pack_counts_u8.restype = ct.c_int64
-    lib.bd_pack_counts_u8.argtypes = [
+    lib.bd_pack_counts_sparse.restype = ct.c_int64
+    lib.bd_pack_counts_sparse.argtypes = [
         ct.POINTER(ct.c_int16), ct.c_int64, ct.POINTER(ct.c_uint8),
-        ct.POINTER(ct.c_int32), ct.POINTER(ct.c_int32), ct.c_int64]
+        ct.POINTER(ct.c_uint8), ct.c_int64, ct.POINTER(ct.c_int32),
+        ct.POINTER(ct.c_int32), ct.c_int64, ct.POINTER(ct.c_int64)]
     lib.bd_total_cum16.restype = None
     lib.bd_total_cum16.argtypes = [
         ct.POINTER(ct.c_int16), ct.c_int32, ct.c_int64,
@@ -403,48 +404,31 @@ def decode_bam(path: str, ref_seqs: Optional[Dict[str, np.ndarray]] = None,
             lib.bd_free(h)
 
 
-def pack_counts_u8(counts16: np.ndarray, corr_capacity: int = 1024):
-    """
-    Saturate an int16 count tensor to uint8 + sparse corrections (flat
-    index, residual) for cells > 255. Returns (u8, corr_idx, corr_val)
-    with corr arrays zero-padded to corr_capacity, or None when the
-    corrections overflow corr_capacity (caller stays on the int16 path).
-    Native single pass — host numpy is bandwidth-throttled here.
-    """
-    c = counts16
-    if c.dtype != np.int16 or c.size >= (1 << 31):
-        return None
+def pack_counts_sparse_into(counts16: np.ndarray, mask_out: np.ndarray,
+                            vals_out: np.ndarray, corr_idx: np.ndarray,
+                            corr_val: np.ndarray):
+    """Sparse-pack ONE int16 count tensor into preallocated wire slices:
+    mask_out uint8 [size/8] LSB-first nonzero bitmap (always fully
+    written), vals_out uint8 nonzero values in flat order (saturated at
+    255), corr_idx/corr_val int32 corrections at DENSE flat indices for
+    cells > 255. Returns (nnz, ncorr) — either may exceed its buffer, in
+    which case the caller re-packs with larger buffers (known before any
+    kernel launch). Native single pass (host numpy is
+    bandwidth-throttled; the wire is ~6x smaller than the dense u8 pack
+    at measured pileup densities)."""
     lib = _load_lib()
-    flat = np.ascontiguousarray(c).reshape(-1)
-    out = np.empty(c.size, dtype=np.uint8)
-    corr_idx = np.zeros(corr_capacity, dtype=np.int32)
-    corr_val = np.zeros(corr_capacity, dtype=np.int32)
-    n = lib.bd_pack_counts_u8(
-        flat.ctypes.data_as(ct.POINTER(ct.c_int16)), c.size,
-        out.ctypes.data_as(ct.POINTER(ct.c_uint8)),
-        corr_idx.ctypes.data_as(ct.POINTER(ct.c_int32)),
-        corr_val.ctypes.data_as(ct.POINTER(ct.c_int32)), corr_capacity)
-    if n > corr_capacity:
-        return None
-    return out.reshape(c.shape), corr_idx, corr_val
-
-
-def pack_counts_u8_into(counts16: np.ndarray, u8_out: np.ndarray,
-                        corr_idx: np.ndarray, corr_val: np.ndarray) -> int:
-    """Pack ONE int16 count tensor into a preallocated uint8 slice +
-    per-tensor correction rows (within-tensor flat indices). Returns the
-    number of corrections NEEDED (may exceed the row capacity — caller
-    re-packs with wider rows). Lets the batch engine pack straight from
-    each scaffold's native buffer into the [S, ...] stack with no int16
-    stacking copy."""
-    lib = _load_lib()
-    assert counts16.dtype == np.int16 and u8_out.size == counts16.size
+    assert counts16.dtype == np.int16 and counts16.size % 8 == 0
+    assert mask_out.size * 8 == counts16.size
     flat = np.ascontiguousarray(counts16).reshape(-1)
-    return int(lib.bd_pack_counts_u8(
+    ncorr = ct.c_int64(0)
+    nnz = lib.bd_pack_counts_sparse(
         flat.ctypes.data_as(ct.POINTER(ct.c_int16)), flat.size,
-        u8_out.ctypes.data_as(ct.POINTER(ct.c_uint8)),
+        mask_out.ctypes.data_as(ct.POINTER(ct.c_uint8)),
+        vals_out.ctypes.data_as(ct.POINTER(ct.c_uint8)), vals_out.size,
         corr_idx.ctypes.data_as(ct.POINTER(ct.c_int32)),
-        corr_val.ctypes.data_as(ct.POINTER(ct.c_int32)), len(corr_idx)))
+        corr_val.ctypes.data_as(ct.POINTER(ct.c_int32)), len(corr_idx),
+        ct.byref(ncorr))
+    return int(nnz), int(ncorr.value)
 
 
 def total_cum16(counts16: np.ndarray, n_mm: int) -> np.ndarray:

@@ -416,25 +416,46 @@ def compact_outputs(full, counts, true_len, snp_capacity: int,
                               true_len)
 
 
+def _densify_sparse(mask_u8, vals_u8, corr_idx, corr_val, shape):
+    """Reconstruct the dense int32 count tensor from the sparse u8 wire
+    (LSB-first nonzero bitmap + flat-order nonzero values saturated at
+    255 + int32 corrections at dense flat indices; produced by
+    io.bam.pack_counts_sparse_into). One bit-expand + cumsum + gather on
+    device — trivial next to the ~6x h2d reduction it buys on the
+    relay-limited link (measured pileup density: ~4.5% nonzero cells at
+    30x metagenome coverage)."""
+    bits = ((mask_u8[:, None] >> jnp.arange(8, dtype=jnp.uint8)) & 1)
+    bits = bits.reshape(-1).astype(jnp.int32)      # [n] 0/1, LSB-first
+    idx = jnp.cumsum(bits) - 1                     # value slot per cell
+    vals = vals_u8.astype(jnp.int32)
+    cell = jnp.where(bits > 0,
+                     vals[jnp.clip(idx, 0, vals.shape[0] - 1)], 0)
+    return cell.at[corr_idx].add(corr_val).reshape(shape)
+
+
 @functools.partial(
     jax.jit,
-    static_argnames=("min_cov", "min_covR", "rarefied_draws",
+    static_argnames=("shape", "min_cov", "min_covR", "rarefied_draws",
                      "snp_capacity", "pos_capacity", "rpos_capacity",
                      "with_dense", "spec_key"))
-def site_stats_compact_u8(counts_u8, corr_idx, corr_val, ref_codes,
-                          null_lut, freq_lut, rng_key, true_len,
-                          min_cov: int = 5, min_covR: int = 50,
-                          rarefied_draws: int = 50,
-                          snp_capacity: int = 1024,
-                          pos_capacity: int = 1024,
-                          rpos_capacity: int = 1024,
-                          with_dense: bool = False,
-                          spec_key=None):
+def site_stats_compact_sparse(mask_u8, vals_u8, corr_idx, corr_val,
+                              ref_codes, null_lut, freq_lut, rng_key,
+                              true_len, shape,
+                              min_cov: int = 5, min_covR: int = 50,
+                              rarefied_draws: int = 50,
+                              snp_capacity: int = 1024,
+                              pos_capacity: int = 1024,
+                              rpos_capacity: int = 1024,
+                              with_dense: bool = False,
+                              spec_key=None):
     """
     Single-dispatch compact path with a minimal wire format, for the
     relay-limited host<->device link:
-      in : uint8-saturated counts (half the int16 bytes) + sparse int32
-           corrections for cells > 255 (io.bam.pack_counts_u8)
+      in : sparse u8 counts — LSB-first nonzero bitmap (1/8 the dense
+           bytes) + flat-order nonzero values (u8, ~5-10% density) +
+           int32 corrections for cells > 255
+           (io.bam.pack_counts_sparse_into); `shape` is the static dense
+           (M, 4, L)
       out: _compact_from_full with bit-packed position masks, int16
            linkage counts (+ overflow flag; the caller falls back to the
            two-phase int32 path in the rare >32767-coverage case), and
@@ -443,10 +464,10 @@ def site_stats_compact_u8(counts_u8, corr_idx, corr_val, ref_codes,
            (_pack_out)
     One host->device put, one dispatch, ONE device_get — no capacity
     round-trip (the caller retries with larger static capacities if the
-    speculative ones overflow).
+    speculative ones overflow, and value/correction overflow is known at
+    pack time, before any launch).
     """
-    c = counts_u8.astype(jnp.int32)
-    counts = c.reshape(-1).at[corr_idx].add(corr_val).reshape(c.shape)
+    counts = _densify_sparse(mask_u8, vals_u8, corr_idx, corr_val, shape)
     # dense_device=False: the host reconstructs `total` and `clon`
     # natively from the counts it already holds (io.bam.clon_cum16), so
     # only the PRNG-dependent clonR crosses — sparsely, in the wire
@@ -588,30 +609,31 @@ def _pack_wire(out):
 
 @functools.partial(
     jax.jit,
-    static_argnames=("min_cov", "min_covR", "rarefied_draws",
+    static_argnames=("shape", "min_cov", "min_covR", "rarefied_draws",
                      "snp_capacity", "pos_capacity", "rpos_capacity",
                      "with_dense", "spec_key"))
-def site_stats_compact_batch_u8(counts_u8, corr_idx, corr_val, ref_codes,
-                                lens, null_lut, freq_lut, rng_keys,
-                                min_cov: int = 5, min_covR: int = 50,
-                                rarefied_draws: int = 50,
-                                snp_capacity: int = 1024,
-                                pos_capacity: int = 1024,
-                                rpos_capacity: int = 1024,
-                                with_dense: bool = False,
-                                spec_key=None):
-    """Batched (vmapped) u8 wire-format variant of site_stats_compact_u8:
-    counts_u8 [S, M, 4, L] saturated uint8, corrections PER SCAFFOLD
-    ([S, C] within-scaffold flat index / value, zero-padded — so each
-    scaffold's scatter stays scaffold-local and the whole launch shards
-    along S over a device mesh); per-scaffold packed masks / int16
+def site_stats_compact_batch_sparse(mask_u8, vals_u8, corr_idx, corr_val,
+                                    ref_codes, lens, null_lut, freq_lut,
+                                    rng_keys, shape,
+                                    min_cov: int = 5, min_covR: int = 50,
+                                    rarefied_draws: int = 50,
+                                    snp_capacity: int = 1024,
+                                    pos_capacity: int = 1024,
+                                    rpos_capacity: int = 1024,
+                                    with_dense: bool = False,
+                                    spec_key=None):
+    """Batched (vmapped) variant of site_stats_compact_sparse: per
+    scaffold a [n/8] LSB-first nonzero bitmap + [V] flat-order u8 values
+    + [C] corrections (within-scaffold flat index / value, zero-padded —
+    so each scaffold's densify stays scaffold-local and the whole launch
+    shards along S over a device mesh); `shape` is the static per-
+    scaffold dense (Mp, 4, Lp). Per-scaffold packed masks / int16
     linkage counts / overflow flags; with_dense rides a per-scaffold
     SPARSE clonR in the wire (`total`/`clon` are host-reconstructed,
     see io.bam.clon_cum16). Returns ONE packed uint64 wire buffer."""
 
-    def one(c1, ci, cv, r, l, k):
-        c = c1.astype(jnp.int32)
-        c = c.reshape(-1).at[ci].add(cv).reshape(c1.shape)
+    def one(mk, vl, ci, cv, r, l, k):
+        c = _densify_sparse(mk, vl, ci, cv, shape)
         out = _site_stats_compact_traced(
             c, r, null_lut, freq_lut, k, l, min_cov=min_cov,
             min_covR=min_covR, rarefied_draws=rarefied_draws,
@@ -620,8 +642,8 @@ def site_stats_compact_batch_u8(counts_u8, corr_idx, corr_val, ref_codes,
             with_dense=with_dense, dense_device=False)
         return _pack_wire(out)
 
-    out = jax.vmap(one)(counts_u8, corr_idx, corr_val, ref_codes, lens,
-                        rng_keys)
+    out = jax.vmap(one)(mask_u8, vals_u8, corr_idx, corr_val, ref_codes,
+                        lens, rng_keys)
     return _pack_out(out, spec_key)
 
 

@@ -41,6 +41,50 @@ def _t_add(key: str, dt: float):
             1 if key == "compute" else 0)
 
 
+# Relay stall watchdog tuning (tests shrink these to fake a stall):
+# the monitor polls every STALL_CHECK_S and warns when a launch phase has
+# been blocked longer than max(STALL_FACTOR x trailing-median launch,
+# STALL_FLOOR_S). Purely observational — the relay WEDGES if its client
+# is killed mid-transfer (see CLAUDE.md), so the watchdog never
+# interrupts the call; unfinished scaffolds already retry per-scaffold
+# when the engine errors (pipeline._profile_scaffolds_batched).
+STALL_CHECK_S = 5.0
+STALL_FLOOR_S = 60.0
+STALL_FACTOR = 10.0
+
+
+class LaunchWatch:
+    """Thread-shared telemetry of the batch device loop: which launch
+    phase (pack / launch / fetch) is currently blocking and for how
+    long, plus completed launch round-trip times for the trailing
+    median. Evidence this is needed: a 256-scaffold sweep iteration once
+    stalled ~12 minutes on relay weather with zero log output
+    (BENCH_sweep_r03)."""
+
+    def __init__(self):
+        import threading
+        self._lock = threading.Lock()
+        self.phase = "idle"
+        self.since = time.perf_counter()
+        self.launch_s: list = []
+
+    def enter(self, phase: str):
+        with self._lock:
+            self.phase = phase
+            self.since = time.perf_counter()
+
+    def launch_done(self, dt: float):
+        with self._lock:
+            self.launch_s.append(dt)
+            self.phase = "idle"
+            self.since = time.perf_counter()
+
+    def snapshot(self):
+        with self._lock:
+            return (self.phase, time.perf_counter() - self.since,
+                    list(self.launch_s))
+
+
 class CompactStats:
     """Host view of site_stats_compact outputs for one scaffold."""
 
@@ -107,18 +151,23 @@ def _padded_inputs(pileup: ScaffoldPileup, ref_codes: np.ndarray):
     return counts, np.ascontiguousarray(ref_codes), M, L
 
 
-# Speculative capacities for the single-dispatch u8 paths: per-bucket
-# (padded shape) high-water marks (pow2). An overflow costs one extra
-# kernel run+compile, then every later launch of that bucket reuses the
-# raised capacity. Low floor: capacity padding is pure wire waste on the
-# relay link (SNV counts per scaffold are typically O(100)).
+# Speculative capacities for the single-dispatch sparse paths: per-bucket
+# (padded shape) high-water marks (pow2). An output-capacity overflow
+# costs one extra kernel run+compile, then every later launch of that
+# bucket reuses the raised capacity; input (vals/corr) overflow is known
+# at pack time and only costs a re-pack. Low floor: capacity padding is
+# pure wire waste on the relay link (SNV counts per scaffold are
+# typically O(100)).
 _SPEC_CAPS: Dict = {}
 
 
 def _bucket_caps(shape) -> Dict:
+    # "vals" starts at Lp: measured nonzero-cell density is ~5-10% of
+    # Mp*4*Lp, i.e. a fraction-to-few multiples of Lp per scaffold
     return _SPEC_CAPS.setdefault(tuple(shape),
                                  {"snp": 256, "pos": 256, "rpos": 256,
-                                  "corr": 64})
+                                  "corr": 64,
+                                  "vals": max(4096, int(shape[-1]))})
 
 
 _CPU_DEV = None
@@ -162,73 +211,63 @@ def _clonR_from_sparse(sp: Dict, k, M: int, L: int) -> np.ndarray:
     return out
 
 
-def _per_scaffold_corrections(cidx: np.ndarray, cval: np.ndarray, S: int,
-                              per: int, caps: Dict):
-    """Regroup pack_counts_u8's stack-flat (index, value) corrections into
-    per-scaffold [S, C] arrays (within-scaffold flat index, zero-padded)
-    so each scaffold's scatter-add stays shard-local under a mesh. C is
-    the bucket's speculative "corr" capacity, raised host-side up front —
-    overflow is known before launch, so no kernel run is ever wasted."""
-    nz = cval != 0
-    sid = cidx[nz] // per
-    loc = (cidx[nz] % per).astype(np.int32)
-    val = cval[nz]
-    counts = np.bincount(sid, minlength=S) if sid.size else np.zeros(
-        S, np.int64)
-    need = int(counts.max()) if counts.size else 0
-    if need > caps["corr"]:
-        caps["corr"] = _pow2_capacity(need, lo=64)
-    C = caps["corr"]
-    ci = np.zeros((S, C), np.int32)
-    cv = np.zeros((S, C), np.int32)
-    order = np.argsort(sid, kind="stable")
-    sid, loc, val = sid[order], loc[order], val[order]
-    starts = np.zeros(S + 1, np.int64)
-    np.cumsum(counts, out=starts[1:])
-    for s in range(S):
-        a, b = starts[s], starts[s + 1]
-        ci[s, :b - a] = loc[a:b]
-        cv[s, :b - a] = val[a:b]
-    return ci, cv
+def _pack_sparse(counts: np.ndarray, caps: Dict):
+    """Sparse-pack one int16 count tensor with the bucket's speculative
+    vals/corr capacities, re-packing with raised (pow2 high-water)
+    capacities on overflow — known at pack time, before any kernel
+    launch, so no kernel run is ever wasted."""
+    from ..io.bam import pack_counts_sparse_into
+    mask = np.empty(counts.size // 8, np.uint8)
+    while True:
+        V, C = caps["vals"], caps["corr"]
+        vals = np.zeros(V, np.uint8)
+        ci = np.zeros(C, np.int32)
+        cv = np.zeros(C, np.int32)
+        nnz, nc = pack_counts_sparse_into(counts, mask, vals, ci, cv)
+        if nnz <= V and nc <= C:
+            return mask, vals, ci, cv
+        if nnz > V:
+            caps["vals"] = _pow2_capacity(nnz, lo=4096)
+        if nc > C:
+            caps["corr"] = _pow2_capacity(nc, lo=64)
 
 
-def _run_compact_u8(counts: np.ndarray, ref_codes: np.ndarray, L: int,
+def _run_compact_sparse(counts: np.ndarray, ref_codes: np.ndarray, L: int,
                     null_lut: np.ndarray, freq_lut: np.ndarray, key,
                     min_cov: int, rarefied_coverage: int,
                     with_dense: bool = False) -> Optional[Dict]:
-    """Single-dispatch u8 compact run (see site_stats_compact_u8). Returns
-    the host output dict with masks unpacked and linkage counts widened,
-    or None when this path doesn't apply (non-int16 counts, correction or
+    """Single-dispatch sparse compact run (see site_stats_compact_sparse).
+    Returns the host output dict with masks unpacked and linkage counts
+    widened, or None when this path doesn't apply (non-int16 counts,
     linkage-count overflow) — the caller falls back to two-phase.
     With with_dense, out["dense"] holds clon/clonR; the caller adds the
     host-reconstructed total."""
-    from ..io.bam import pack_counts_u8
-    from ..kernels.sitestats import site_stats_compact_u8
+    from ..kernels.sitestats import site_stats_compact_sparse
     if counts.dtype != np.int16:
         return None
+    caps = _bucket_caps(counts.shape)
     t0 = time.perf_counter()
-    packed = pack_counts_u8(counts)
+    mask, vals, cidx, cval = _pack_sparse(counts, caps)
     _t_add("pack", time.perf_counter() - t0)
-    if packed is None:
-        return None
     from ..kernels.sitestats import unpack_wire
-    u8, cidx, cval = packed
     if TIMINGS is not None:
         # explicit, synchronized h2d so the benchmark can separate the
         # transfer from the compute (production lets dispatch overlap it)
         t0 = time.perf_counter()
-        u8, cidx, cval, ref_codes, null_lut, freq_lut = [
+        mask, vals, cidx, cval, ref_codes, null_lut, freq_lut = [
             jax.block_until_ready(jax.device_put(x))
-            for x in (u8, cidx, cval, ref_codes, null_lut, freq_lut)]
+            for x in (mask, vals, cidx, cval, ref_codes, null_lut,
+                      freq_lut)]
         _t_add("h2d", time.perf_counter() - t0)
-    caps = _bucket_caps(counts.shape)
     for _ in range(8):
-        skey = ("u8", counts.shape, caps["snp"], caps["pos"], caps["rpos"],
+        skey = ("sp", counts.shape, len(vals), cidx.shape[0],
+                caps["snp"], caps["pos"], caps["rpos"],
                 with_dense, min_cov, rarefied_coverage)
         t0 = time.perf_counter()
-        res = site_stats_compact_u8(
-            u8, cidx, cval, ref_codes, null_lut, freq_lut, key,
-            np.int32(L), min_cov=min_cov, min_covR=rarefied_coverage,
+        res = site_stats_compact_sparse(
+            mask, vals, cidx, cval, ref_codes, null_lut, freq_lut, key,
+            np.int32(L), shape=counts.shape, min_cov=min_cov,
+            min_covR=rarefied_coverage,
             rarefied_draws=rarefied_coverage,
             snp_capacity=caps["snp"],
             pos_capacity=caps["pos"], rpos_capacity=caps["rpos"],
@@ -272,19 +311,19 @@ def _run_compact_u8(counts: np.ndarray, ref_codes: np.ndarray, L: int,
     return None
 
 
-def _run_compact_u8_contained(*args, **kwargs) -> Optional[Dict]:
-    """_run_compact_u8 with failure containment: an exception in the u8
-    fast path logs a FAILURE line and falls through to the two-phase path
+def _run_compact_sparse_contained(*args, **kwargs) -> Optional[Dict]:
+    """_run_compact_sparse with failure containment: an exception in the
+    sparse fast path logs a FAILURE line and falls through to the two-phase path
     (None) instead of killing the scaffold — the reference never dies on
     one bad unit (profile_utilities.py:92-112)."""
     try:
-        return _run_compact_u8(*args, **kwargs)
+        return _run_compact_sparse(*args, **kwargs)
     except Exception as e:
         import logging
 
         from ..obs.logging import log_failure
-        log_failure("EngineException", "u8_wire", str(e))
-        logging.error(f"u8 wire path failed ({e}); falling back to the "
+        log_failure("EngineException", "sparse_wire", str(e))
+        logging.error(f"sparse wire path failed ({e}); falling back to "
                       f"two-phase path")
         return None
 
@@ -323,7 +362,7 @@ def run_site_stats_compact(pileup: ScaffoldPileup, ref_codes: np.ndarray,
                            min_cov: int = 5, rarefied_coverage: int = 50,
                            seed: int = 42, mesh=None) -> CompactStats:
     """
-    Single-dispatch u8 run when the counts fit (the common case), else a
+    Single-dispatch sparse run when the counts fit (the common case), else a
     two-phase compact run. Total device->host traffic is proportional to
     the actual number of SNVs. With `mesh`, the two-phase path runs
     position-sharded over the device mesh.
@@ -331,11 +370,11 @@ def run_site_stats_compact(pileup: ScaffoldPileup, ref_codes: np.ndarray,
     counts, ref_codes, M, L = _padded_inputs(pileup, ref_codes)
     key = _fold_keys(seed, [pileup.rid])[0]
     if mesh is None:
-        out_u8 = _run_compact_u8_contained(
+        out_sp = _run_compact_sparse_contained(
             counts, ref_codes, L, null_lut, freq_lut, key, min_cov,
             rarefied_coverage)
-        if out_u8 is not None:
-            return CompactStats(pileup, out_u8, M, L)
+        if out_sp is not None:
+            return CompactStats(pileup, out_sp, M, L)
     out = _run_two_phase(counts, ref_codes, L, null_lut, freq_lut, key,
                          min_cov, rarefied_coverage, with_dense=False,
                          mesh=mesh)
@@ -366,7 +405,7 @@ def run_site_stats_hybrid(pileup: ScaffoldPileup, ref_codes: np.ndarray,
                           min_cov: int = 5, rarefied_coverage: int = 50,
                           seed: int = 42, mesh=None) -> HybridStats:
     """Hybrid run: compact outputs plus the storage-needed dense arrays.
-    u8 single-dispatch when the counts fit (clon/clonR fetched, total
+    sparse single-dispatch when the counts fit (clon/clonR fetched, total
     reconstructed natively on host from the counts we already hold), else
     the two-phase path (~9 MB/scaffold instead of ~40 MB for the full
     dict). With `mesh`, the two-phase path runs position-sharded over the
@@ -374,13 +413,13 @@ def run_site_stats_hybrid(pileup: ScaffoldPileup, ref_codes: np.ndarray,
     counts, ref_codes, M, L = _padded_inputs(pileup, ref_codes)
     key = _fold_keys(seed, [pileup.rid])[0]
     if mesh is None:
-        out_u8 = _run_compact_u8_contained(
+        out_sp = _run_compact_sparse_contained(
             counts, ref_codes, L, null_lut, freq_lut, key, min_cov,
             rarefied_coverage, with_dense=True)
-        if out_u8 is not None:
+        if out_sp is not None:
             from ..io.bam import clon_cum16
-            dense = out_u8.pop("dense")
-            cs = HybridStats(pileup, out_u8, M, L)
+            dense = out_sp.pop("dense")
+            cs = HybridStats(pileup, out_sp, M, L)
             total, clon = clon_cum16(counts, M, min_cov)
             cs.dense = {"total": total, "clon": clon,
                         "clonR": np.asarray(dense["clonR"])}
@@ -476,20 +515,19 @@ def coverage_table_compact(cs: CompactStats) -> pd.DataFrame:
     return df[active].reset_index(drop=True)
 
 
-def _pack_u8_chunk(part, Mp: int, Lp: int, caps: Dict, Sp0: int):
-    """Pack each scaffold's already-padded int16 counts straight into
-    the [S, Mp, 4, Lp] uint8 stack (native per-scaffold pass — no int16
-    stacking copy, no memset) with per-scaffold correction rows
-    (within-scaffold flat indices, so the scatter-add stays shard-local
-    under a mesh). Correction-row capacity is the bucket's speculative
-    "corr" high-water mark, raised and re-packed on overflow — known
-    before launch, so no kernel run is wasted."""
-    from ..io.bam import pack_counts_u8_into
-    S = len(part)
-    # np.zeros = calloc: tail-padding scaffolds stay untouched virtual
-    # zero pages (an explicit memset of the dummy rows cost ~2 s on this
-    # bandwidth-throttled host); packed rows overwrite their pages anyway
-    u8 = np.zeros((Sp0, Mp, 4, Lp), np.uint8)
+def _pack_sparse_chunk(part, Mp: int, Lp: int, caps: Dict, Sp0: int):
+    """Sparse-pack each scaffold's already-padded int16 counts straight
+    into the chunk's wire stacks (native per-scaffold pass — no int16
+    stacking copy): [S, Mp*4*Lp/8] LSB-first nonzero bitmaps +
+    [S, V] flat-order u8 values + [S, C] correction rows (within-scaffold
+    flat indices, so densify stays shard-local under a mesh). V/C are the
+    bucket's speculative high-water marks, raised and re-packed on
+    overflow — known before launch, so no kernel run is wasted.
+    np.zeros = calloc: tail-padding scaffolds stay untouched virtual zero
+    pages (an explicit memset cost ~2 s on this bandwidth-throttled
+    host); packed rows overwrite their own pages."""
+    from ..io.bam import pack_counts_sparse_into
+    n8 = Mp * 4 * Lp // 8
 
     def padded16(pu):
         # native padded-builder pileups pass through zero-copy; ragged
@@ -503,21 +541,28 @@ def _pack_u8_chunk(part, Mp: int, Lp: int, caps: Dict, Sp0: int):
         return tmp
 
     while True:
-        C = caps["corr"]
+        V, C = caps["vals"], caps["corr"]
+        mask = np.zeros((Sp0, n8), np.uint8)
+        vals = np.zeros((Sp0, V), np.uint8)
         ci = np.zeros((Sp0, C), np.int32)
         cv = np.zeros((Sp0, C), np.int32)
-        need = 0
+        need_v = need_c = 0
         for k, (_i, pu, _rc) in enumerate(part):
-            n = pack_counts_u8_into(padded16(pu), u8[k], ci[k], cv[k])
-            need = max(need, n)
-        if need <= C:
-            return u8, ci, cv
-        caps["corr"] = _pow2_capacity(need, lo=64)
+            nnz, nc = pack_counts_sparse_into(padded16(pu), mask[k],
+                                              vals[k], ci[k], cv[k])
+            need_v = max(need_v, nnz)
+            need_c = max(need_c, nc)
+        if need_v <= V and need_c <= C:
+            return mask, vals, ci, cv
+        if need_v > V:
+            caps["vals"] = _pow2_capacity(need_v, lo=4096)
+        if need_c > C:
+            caps["corr"] = _pow2_capacity(need_c, lo=64)
 
 
-def _dispatch_batch_chunk(part, Mp, Lp, use_u8, null_lut, freq_lut,
+def _dispatch_batch_chunk(part, Mp, Lp, use_sparse, null_lut, freq_lut,
                           min_cov, rarefied_coverage, seed, with_dense,
-                          mesh, pad_to=None):
+                          mesh, pad_to=None, watch=None):
     """Build one chunk's inputs and dispatch its kernel WITHOUT waiting
     for the result (jax dispatch is asynchronous, so the next chunk's
     host packing and h2d overlap this chunk's device compute). Returns a
@@ -537,51 +582,63 @@ def _dispatch_batch_chunk(part, Mp, Lp, use_u8, null_lut, freq_lut,
     keys_arr = _fold_keys(seed, [pu.rid for _i, pu, _rc in part] +
                           [0] * (Sp0 - S))
     rec = dict(part=part, Mp=Mp, Lp=Lp)
-    if use_u8:
-        from ..kernels.sitestats import site_stats_compact_batch_u8
+    if use_sparse:
+        from ..kernels.sitestats import site_stats_compact_batch_sparse
         caps = _bucket_caps((Mp, 4, Lp))
+        if watch is not None:
+            watch.enter("pack")
         t0 = time.perf_counter()
-        u8, cidx_s, cval_s = _pack_u8_chunk(part, Mp, Lp, caps, Sp0)
+        mask, vals, cidx_s, cval_s = _pack_sparse_chunk(part, Mp, Lp,
+                                                        caps, Sp0)
         _t_add("pack", time.perf_counter() - t0)
         if mesh is not None:
             from ..parallel.mesh import place_batch_sharded
             placed = place_batch_sharded(
-                dict(u8=u8, cidx=cidx_s, cval=cval_s, ref_codes=refs,
-                     lens=lens, keys=keys_arr), mesh)
-            u8_d, cidx_d, cval_d = (placed["u8"], placed["cidx"],
-                                    placed["cval"])
+                dict(mask=mask, vals=vals, cidx=cidx_s, cval=cval_s,
+                     ref_codes=refs, lens=lens, keys=keys_arr), mesh)
+            mask_d, vals_d = placed["mask"], placed["vals"]
+            cidx_d, cval_d = placed["cidx"], placed["cval"]
             refs_d, lens_d, keys_d = (placed["ref_codes"], placed["lens"],
                                       placed["keys"])
-            Sp = u8_d.shape[0]
+            Sp = mask_d.shape[0]
         elif TIMINGS is not None:
             # explicit, synchronized h2d so the benchmark can separate
             # the transfer from the compute (production overlaps it)
             t0 = time.perf_counter()
-            u8_d, cidx_d, cval_d, refs_d, lens_d, keys_d = [
+            mask_d, vals_d, cidx_d, cval_d, refs_d, lens_d, keys_d = [
                 jax.block_until_ready(jax.device_put(x))
-                for x in (u8, cidx_s, cval_s, refs, lens, keys_arr)]
+                for x in (mask, vals, cidx_s, cval_s, refs, lens,
+                          keys_arr)]
             _t_add("h2d", time.perf_counter() - t0)
             Sp = Sp0
         else:
-            u8_d, cidx_d, cval_d = u8, cidx_s, cval_s
+            mask_d, vals_d, cidx_d, cval_d = mask, vals, cidx_s, cval_s
             refs_d, lens_d, keys_d = refs, lens, keys_arr
             Sp = Sp0
         snp_cap = min(caps["snp"], Mp * Lp)
         pos_cap = min(caps["pos"], Lp)
         rpos_cap = min(caps["rpos"], Lp)
-        skey = ("u8b", (Sp, Mp, 4, Lp), snp_cap, pos_cap, rpos_cap,
-                cidx_s.shape[1], with_dense, min_cov, rarefied_coverage)
+        skey = ("spb", (Sp, Mp, 4, Lp), vals.shape[1], cidx_s.shape[1],
+                snp_cap, pos_cap, rpos_cap, with_dense, min_cov,
+                rarefied_coverage)
+        if watch is not None:
+            # on the synchronous relay the dispatch below blocks through
+            # h2d + kernel completion — the stall-prone window
+            watch.enter("launch")
         t0 = time.perf_counter()
-        res = site_stats_compact_batch_u8(
-            u8_d, cidx_d, cval_d, refs_d, lens_d, null_lut, freq_lut,
-            keys_d, min_cov=min_cov, min_covR=rarefied_coverage,
+        res = site_stats_compact_batch_sparse(
+            mask_d, vals_d, cidx_d, cval_d, refs_d, lens_d, null_lut,
+            freq_lut, keys_d, shape=(Mp, 4, Lp), min_cov=min_cov,
+            min_covR=rarefied_coverage,
             rarefied_draws=rarefied_coverage, snp_capacity=snp_cap,
             pos_capacity=pos_cap, rpos_capacity=rpos_cap,
             with_dense=with_dense, spec_key=skey)
         if TIMINGS is not None:
             jax.block_until_ready(res)
         _t_add("compute", time.perf_counter() - t0)
-        rec.update(kind="u8", res=res, skey=skey, caps=caps)
+        if watch is not None:
+            watch.launch_done(time.perf_counter() - t0)
+        rec.update(kind="sparse", res=res, skey=skey, caps=caps)
     else:
         from ..kernels.sitestats import site_stats_compact_batch
         counts = np.zeros((Sp0, Mp, 4, Lp), np.int32)
@@ -610,7 +667,8 @@ def _dispatch_batch_chunk(part, Mp, Lp, use_u8, null_lut, freq_lut,
     return rec
 
 
-def _finish_batch_chunk(rec, results, min_cov, with_dense, emit=None):
+def _finish_batch_chunk(rec, results, min_cov, with_dense, emit=None,
+                        watch=None):
     """Fetch one dispatched chunk's wire, unpack, and slice per-scaffold
     stats into `results`. Scaffolds that overflowed the wire capacities
     stay None (the caller re-runs them per-scaffold) and raise the
@@ -618,19 +676,23 @@ def _finish_batch_chunk(rec, results, min_cov, with_dense, emit=None):
     called with every (index, stats-or-None) as it lands (the streaming
     overlap path, iter_site_stats_compact_batch)."""
     part, Mp, Lp = rec["part"], rec["Mp"], rec["Lp"]
-    if rec["kind"] == "u8":
+    if rec["kind"] == "sparse":
         from ..kernels.sitestats import unpack_wire
+        if watch is not None:
+            watch.enter("fetch")
         t0 = time.perf_counter()
         wire = np.asarray(rec["res"][0])
         _t_add("fetch", time.perf_counter() - t0)
+        if watch is not None:
+            watch.enter("idle")
         out = unpack_wire(wire, rec["skey"])
         clonR_sp = out.pop("clonR_sparse", None)
-        wire_u8 = True
+        wire_sp = True
         cum_overflow = out["linkage"].pop("cum_overflow")
         caps = rec["caps"]
     else:
         out = jax.device_get(rec["res"])
-        wire_u8 = False
+        wire_sp = False
         clonR_sp = None
         cum_overflow = np.zeros(len(part), bool)
         caps = None
@@ -652,7 +714,7 @@ def _finish_batch_chunk(rec, results, min_cov, with_dense, emit=None):
         cs.agg = {kk: v[:M] for kk, v in sliced["agg"].items()}
         cs.linkage = sliced["linkage"]
         cs.masks = sliced["masks"]
-        if wire_u8:
+        if wire_sp:
             m = cs.masks
             cs.masks = dict(
                 cryptic=np.unpackbits(m["cryptic"])[:Lp].astype(bool),
@@ -661,7 +723,7 @@ def _finish_batch_chunk(rec, results, min_cov, with_dense, emit=None):
                 [:, :Lp].astype(bool))
             cs.linkage["cum"] = cs.linkage["cum"].astype(np.int32)
         if with_dense:
-            if wire_u8:
+            if wire_sp:
                 from ..io.bam import clon_cum16
                 c16 = pu.counts if pu.counts.dtype == np.int16 \
                     else pu.counts.astype(np.int16)
@@ -682,8 +744,8 @@ def _finish_batch_chunk(rec, results, min_cov, with_dense, emit=None):
                 bool(cum_overflow[k])):
             # overflowed the batch wire capacity -> re-run per-scaffold;
             # raise this bucket's speculative high-water mark for later
-            # launches (u8 wire only — int32 uses fixed capacities)
-            if wire_u8:
+            # launches (sparse wire only — int32 uses fixed capacities)
+            if wire_sp:
                 caps["snp"] = max(caps["snp"],
                                   _pow2_capacity(n_rows, lo=256))
                 caps["pos"] = max(caps["pos"],
@@ -701,6 +763,7 @@ def run_site_stats_compact_batch(pileups, ref_codes_list, null_lut,
                                  seed: int = 42, with_dense: bool = False,
                                  max_chunk_bytes: int = 32 << 20,
                                  mesh=None, pipeline_depth: int = 3,
+                                 watch=None,
                                  emit=None):
     """
     Batch same-bucket scaffolds through one kernel launch, with the
@@ -745,44 +808,52 @@ def run_site_stats_compact_batch(pileups, ref_codes_list, null_lut,
     results = [None] * len(pileups)
     chunks = []
     for (Mp, Lp), items in buckets.items():
-        # wire bytes per scaffold: the u8 path moves uint8 counts in and
-        # only the sparse clonR out; the int32 fallback sends 4x-wider
-        # counts and fetches dense outputs. Launches are ~100 ms relay
-        # round-trips, so undersized chunks cost more than oversized.
+        # wire bytes per scaffold: the sparse path moves a nonzero bitmap
+        # (dense/8) + the nonzero values (the bucket's "vals" high-water
+        # mark) + ref codes in, and only the compact outputs + sparse
+        # clonR out; the int32 fallback sends full-width dense counts and
+        # fetches dense outputs. Launches are ~100 ms relay round-trips,
+        # so undersized chunks cost more than oversized.
         bucket16 = all(pu.counts.dtype == np.int16 for _, pu, _ in items)
         if bucket16:
-            per_scaffold = Mp * Lp * (4 if with_dense else 1) + Mp * 4 * Lp
+            per_scaffold = (Mp * 4 * Lp // 8 +
+                            _bucket_caps((Mp, 4, Lp))["vals"] + Lp)
         else:
             per_scaffold = (Mp * Lp * (12 if with_dense else 4) +
                             4 * Mp * 4 * Lp)
-        chunk = max(1, max_chunk_bytes // per_scaffold)
+        # the sparse wire fits ~6x more scaffolds per launch, so also
+        # bound the launch's DENSE device working set (the kernel
+        # densifies to [S, Mp, 4, Lp] int32 + comparable intermediates)
+        chunk = max(1, min(max_chunk_bytes // per_scaffold,
+                           (1 << 27) // (Mp * 4 * Lp)))
         for c0 in range(0, len(items), chunk):
             part = items[c0:c0 + chunk]
-            # the u8 wire needs int16 counts (native padded-builder
+            # the sparse wire needs int16 counts (native padded-builder
             # pileups pack zero-copy; ragged int16 via per-scaffold temps)
-            use_u8 = (all(pu.counts.dtype == np.int16
+            use_sparse = (all(pu.counts.dtype == np.int16
                           for _, pu, _ in part) and
                       chunk * Mp * 4 * Lp < (1 << 31))
             # pad the tail chunk to the full chunk size so the bucket
             # needs exactly ONE compiled kernel shape (a distinct tail
             # size would otherwise cost a fresh XLA compile)
             pad_to = chunk if len(items) > chunk else None
-            chunks.append((part, Mp, Lp, use_u8, pad_to))
+            chunks.append((part, Mp, Lp, use_sparse, pad_to))
 
     # benchmark instrumentation synchronizes every phase, so keep the
     # launches serial there; production overlaps up to pipeline_depth
     depth = 1 if TIMINGS is not None else max(1, int(pipeline_depth))
     pending = deque()
-    for part, Mp, Lp, use_u8, pad_to in chunks:
+    for part, Mp, Lp, use_sparse, pad_to in chunks:
         pending.append(_dispatch_batch_chunk(
-            part, Mp, Lp, use_u8, null_lut, freq_lut, min_cov,
-            rarefied_coverage, seed, with_dense, mesh, pad_to=pad_to))
+            part, Mp, Lp, use_sparse, null_lut, freq_lut, min_cov,
+            rarefied_coverage, seed, with_dense, mesh, pad_to=pad_to,
+            watch=watch))
         while len(pending) > depth:
             _finish_batch_chunk(pending.popleft(), results, min_cov,
-                                with_dense, emit=emit)
+                                with_dense, emit=emit, watch=watch)
     while pending:
         _finish_batch_chunk(pending.popleft(), results, min_cov,
-                            with_dense, emit=emit)
+                            with_dense, emit=emit, watch=watch)
     return results
 
 
@@ -799,11 +870,14 @@ def iter_site_stats_compact_batch(pileups, ref_codes_list, null_lut,
     treat un-yielded scaffolds as engine-failed and retry per-scaffold
     (the reference never dies on one bad unit,
     profile_utilities.py:92-112)."""
+    import logging
     import queue as queue_mod
     import threading
 
     q: "queue_mod.Queue" = queue_mod.Queue()
     err = []
+    watch = LaunchWatch()
+    stop = threading.Event()
 
     def work():
         try:
@@ -813,20 +887,51 @@ def iter_site_stats_compact_batch(pileups, ref_codes_list, null_lut,
             mod = sys.modules[__name__]
             mod.run_site_stats_compact_batch(
                 pileups, ref_codes_list, null_lut, freq_lut,
-                emit=lambda i, s: q.put((i, s)), **kwargs)
+                emit=lambda i, s: q.put((i, s)), watch=watch, **kwargs)
         except BaseException as e:  # noqa: BLE001 — re-raised in consumer
             err.append(e)
         finally:
             q.put(None)
 
+    def monitor():
+        # relay stall watchdog: a launch blocked far beyond the trailing
+        # median gets a WARNING with phase attribution instead of a
+        # silent hang (BENCH_sweep_r03 recorded a 709 s iteration with
+        # zero output). Observational only — interrupting a relay call
+        # wedges the relay (CLAUDE.md); on an engine ERROR the unfinished
+        # scaffolds already retry per-scaffold.
+        warned_at = -1e9
+        while not stop.wait(STALL_CHECK_S):
+            phase, dur, hist = watch.snapshot()
+            if phase == "idle":
+                continue
+            med = float(np.median(hist)) if hist else STALL_FLOOR_S
+            limit = max(STALL_FACTOR * med, STALL_FLOOR_S)
+            now = time.perf_counter()
+            if dur > limit and now - warned_at > 6 * STALL_CHECK_S:
+                logging.warning(
+                    f"relay stall: batch launch phase '{phase}' blocked "
+                    f"{dur:.0f}s (trailing-median launch {med:.1f}s, "
+                    f"{len(hist)} completed) — relay weather suspected; "
+                    f"the run continues when the call returns, and "
+                    f"unfinished scaffolds retry per-scaffold if the "
+                    f"engine errors")
+                warned_at = now
+
     t = threading.Thread(target=work, daemon=True,
                          name="instrain-batch-device")
+    m = threading.Thread(target=monitor, daemon=True,
+                         name="instrain-batch-watchdog")
     t.start()
-    while True:
-        item = q.get()
-        if item is None:
-            break
-        yield item
-    t.join()
+    m.start()
+    try:
+        while True:
+            item = q.get()
+            if item is None:
+                break
+            yield item
+        t.join()
+    finally:
+        stop.set()
     if err:
         raise err[0]

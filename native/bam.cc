@@ -922,31 +922,51 @@ extern "C" int32_t bd_build_counts16(BamData* h, int32_t ref_id,
     return kept;
 }
 
+
 /*
- * Saturate an int16 count tensor to uint8, emitting sparse corrections
- * for cells > 255 (flat index + residual). Halves the host->device
- * transfer vs int16; the device widens and scatter-adds the corrections
- * back (kernels/sitestats.site_stats_compact_u8). Returns the true number
- * of corrections — if it exceeds `cap` the caller falls back to int16.
+ * Sparse u8 pack of an int16 count tensor (flattened; n must be a
+ * multiple of 8): most pileup count cells are zero (measured ~4.5% on a
+ * 30x metagenome, <10% on real BAMs), so the wire carries an LSB-first
+ * nonzero bitmap (n/8 bytes, always fully written) plus the nonzero
+ * values in flat order, saturated at 255 with int32 corrections holding
+ * the excess at the DENSE flat index (the device scatter-adds them
+ * after densifying).
+ * Returns nnz and writes *out_ncorr; vals/corr writes are capped at
+ * vals_cap/corr_cap and the caller re-packs with larger buffers when the
+ * return values exceed them (known before any kernel launch).
  */
-extern "C" int64_t bd_pack_counts_u8(const int16_t* counts, int64_t n,
-                                     uint8_t* out, int32_t* corr_idx,
-                                     int32_t* corr_val, int64_t cap) {
-    int64_t nc = 0;
-    for (int64_t i = 0; i < n; ++i) {
-        int16_t c = counts[i];
-        if ((uint16_t)c <= 255) {
-            out[i] = (uint8_t)c;
-        } else {
-            out[i] = 255;
-            if (nc < cap) {
-                corr_idx[nc] = (int32_t)i;
-                corr_val[nc] = (int32_t)c - 255;
+extern "C" int64_t bd_pack_counts_sparse(const int16_t* counts, int64_t n,
+                                         uint8_t* mask, uint8_t* vals,
+                                         int64_t vals_cap,
+                                         int32_t* corr_idx,
+                                         int32_t* corr_val,
+                                         int64_t corr_cap,
+                                         int64_t* out_ncorr) {
+    int64_t nnz = 0, nc = 0;
+    for (int64_t i8 = 0; i8 < n; i8 += 8) {
+        uint8_t m = 0;
+        for (int j = 0; j < 8; ++j) {
+            int16_t c = counts[i8 + j];
+            if (c == 0) continue;
+            m |= (uint8_t)(1u << j);
+            uint8_t v;
+            if ((uint16_t)c <= 255) {
+                v = (uint8_t)c;
+            } else {
+                v = 255;
+                if (nc < corr_cap) {
+                    corr_idx[nc] = (int32_t)(i8 + j);
+                    corr_val[nc] = (int32_t)c - 255;
+                }
+                ++nc;
             }
-            ++nc;
+            if (nnz < vals_cap) vals[nnz] = v;
+            ++nnz;
         }
+        mask[i8 >> 3] = m;
     }
-    return nc;
+    *out_ncorr = nc;
+    return nnz;
 }
 
 /*

@@ -150,27 +150,36 @@ def test_batch_engine_matches_dense(tmp_path, ref_null_model):
             pd.testing.assert_series_equal(covA[s][mm], covB[s][mm])
 
 
-def test_pack_counts_u8_roundtrip():
-    """Native u8 saturation pack: exact reconstruction via corrections,
-    None on correction-capacity overflow or non-int16 input."""
-    from instrain_tpu.io.bam import pack_counts_u8
+def test_pack_counts_sparse_roundtrip():
+    """Native sparse u8 pack (nonzero bitmap + flat-order values +
+    saturation corrections): exact reconstruction; over-capacity needs
+    are reported back (the caller re-packs before any launch)."""
+    from instrain_tpu.io.bam import pack_counts_sparse_into
     rng = np.random.default_rng(0)
     c = rng.integers(0, 400, size=(3, 4, 64), dtype=np.int16)
-    p = pack_counts_u8(c, corr_capacity=1024)
-    assert p is not None
-    u8, ci, cv = p
-    rec = u8.astype(np.int32).reshape(-1)
-    np.add.at(rec, ci, cv)
+    c[rng.random(c.shape) < 0.6] = 0
+    mask = np.empty(c.size // 8, np.uint8)
+    vals = np.zeros(c.size, np.uint8)
+    ci = np.zeros(1024, np.int32)
+    cv = np.zeros(1024, np.int32)
+    nnz, nc = pack_counts_sparse_into(c, mask, vals, ci, cv)
+    assert nnz == int((c != 0).sum())
+    assert nc == int((c > 255).sum())
+    bits = np.unpackbits(mask, bitorder="little")
+    np.testing.assert_array_equal(bits.astype(bool),
+                                  (c.reshape(-1) != 0))
+    rec = np.zeros(c.size, np.int32)
+    rec[bits.astype(bool)] = vals[:nnz]
+    np.add.at(rec, ci[:nc], cv[:nc])
     np.testing.assert_array_equal(rec.reshape(c.shape), c.astype(np.int32))
-    n_over = int((c > 255).sum())
-    assert int((cv > 0).sum()) == n_over
-    # capacity overflow -> fallback signal
-    assert pack_counts_u8(c, corr_capacity=max(n_over - 1, 0)) is None
-    assert pack_counts_u8(c.astype(np.int32)) is None
+    # capacity overflow -> reported need exceeds the buffer
+    small = np.zeros(max(nnz - 1, 1), np.uint8)
+    nnz2, _ = pack_counts_sparse_into(c, mask, small, ci, cv)
+    assert nnz2 == nnz and nnz2 > len(small)
 
 
-def test_u8_path_taken_and_matches_two_phase(sars_profiled, ref_null_model):
-    """The single-dispatch u8 path is selected for the native padded
+def test_sparse_path_taken_and_matches_two_phase(sars_profiled, ref_null_model):
+    """The single-dispatch sparse path is selected for the native padded
     pileup and produces byte-identical outputs to the two-phase path."""
     from instrain_tpu.profile.pileup import build_scaffold_pileup_padded
     import instrain_tpu.profile.compact as C
@@ -182,28 +191,28 @@ def test_u8_path_taken_and_matches_two_phase(sars_profiled, ref_null_model):
     luts = make_luts(VariantConfig(null_model=ref_null_model))
 
     taken = {}
-    orig = C._run_compact_u8
+    orig = C._run_compact_sparse
 
     def spy(*a, **k):
         r = orig(*a, **k)
-        taken["u8"] = r is not None
+        taken["sp"] = r is not None
         return r
 
-    C._run_compact_u8 = spy
+    C._run_compact_sparse = spy
     try:
-        cs_u8 = compact.run_site_stats_compact(pp, rc, *luts)
+        cs_sp = compact.run_site_stats_compact(pp, rc, *luts)
     finally:
-        C._run_compact_u8 = orig
-    assert taken.get("u8"), "u8 fast path was not taken"
+        C._run_compact_sparse = orig
+    assert taken.get("sp"), "sparse fast path was not taken"
 
-    C._run_compact_u8 = lambda *a, **k: None
+    C._run_compact_sparse = lambda *a, **k: None
     try:
         cs_2p = compact.run_site_stats_compact(pp, rc, *luts)
     finally:
-        C._run_compact_u8 = orig
+        C._run_compact_sparse = orig
 
     for grp in ("rows", "agg", "linkage", "masks"):
-        a, b = getattr(cs_u8, grp), getattr(cs_2p, grp)
+        a, b = getattr(cs_sp, grp), getattr(cs_2p, grp)
         assert set(a) == set(b)
         for k in a:
             x, y = np.asarray(a[k]), np.asarray(b[k])
@@ -217,15 +226,16 @@ def test_u8_path_taken_and_matches_two_phase(sars_profiled, ref_null_model):
             else:
                 np.testing.assert_array_equal(x, y, err_msg=f"{grp}.{k}")
     pd.testing.assert_frame_equal(
-        compact.snp_table_compact(cs_u8, rc).reset_index(drop=True),
+        compact.snp_table_compact(cs_sp, rc).reset_index(drop=True),
         compact.snp_table_compact(cs_2p, rc).reset_index(drop=True),
         check_dtype=False)
 
 
-def test_batch_u8_wire_taken(tmp_path, ref_null_model):
-    """The batch engine selects the u8 wire (site_stats_compact_batch_u8)
-    for native int16 stacks, and the hybrid engine selects the u8
-    single-dispatch path — neither silently falls back."""
+def test_batch_sparse_wire_taken(tmp_path, ref_null_model):
+    """The batch engine selects the sparse wire
+    (site_stats_compact_batch_sparse) for native int16 stacks, and the
+    hybrid engine selects the sparse single-dispatch path — neither
+    silently falls back."""
     import os
     import instrain_tpu.kernels.sitestats as K
     from instrain_tpu.config import ProfileConfig
@@ -238,13 +248,13 @@ def test_batch_u8_wire_taken(tmp_path, ref_null_model):
         pytest.skip("test data missing")
 
     calls = []
-    orig = K.site_stats_compact_batch_u8
+    orig = K.site_stats_compact_batch_sparse
 
     def spy(*a, **k):
         calls.append(a[0].dtype)
         return orig(*a, **k)
 
-    K.site_stats_compact_batch_u8 = spy
+    K.site_stats_compact_batch_sparse = spy
     try:
         cfg = ProfileConfig(output=str(tmp_path / "b8"),
                             skip_plot_generation=True,
@@ -253,7 +263,7 @@ def test_batch_u8_wire_taken(tmp_path, ref_null_model):
         cfg.variant.null_model = ref_null_model
         profile(bam, fasta, cfg)
     finally:
-        K.site_stats_compact_batch_u8 = orig
+        K.site_stats_compact_batch_sparse = orig
     assert calls and all(d == np.uint8 for d in calls)
 
 
@@ -306,8 +316,8 @@ def test_batch_engine_failure_falls_back(tmp_path, ref_null_model):
             check_dtype=False, check_exact=False, rtol=1e-6)
 
 
-def test_batch_u8_sharded_matches_unsharded(tmp_path, ref_null_model):
-    """The batch engine keeps the u8 wire under a device mesh (scaffold
+def test_batch_sparse_sharded_matches_unsharded(tmp_path, ref_null_model):
+    """The batch engine keeps the sparse wire under a device mesh (scaffold
     axis sharded, corrections per-scaffold) and produces bit-identical
     tables to the unsharded batch run."""
     import os
@@ -322,14 +332,14 @@ def test_batch_u8_sharded_matches_unsharded(tmp_path, ref_null_model):
         pytest.skip("test data missing")
 
     calls = []
-    orig = K.site_stats_compact_batch_u8
+    orig = K.site_stats_compact_batch_sparse
 
     def spy(*a, **k):
         calls.append(a[0].dtype)
         return orig(*a, **k)
 
     outs = {}
-    K.site_stats_compact_batch_u8 = spy
+    K.site_stats_compact_batch_sparse = spy
     try:
         for name, n_mesh in (("flat", 0), ("mesh", 8)):
             cfg = ProfileConfig(output=str(tmp_path / name),
@@ -341,9 +351,9 @@ def test_batch_u8_sharded_matches_unsharded(tmp_path, ref_null_model):
             calls.clear()
             outs[name] = profile(bam, fasta, cfg)
             assert calls and all(d == np.uint8 for d in calls), \
-                f"u8 wire not taken ({name})"
+                f"sparse wire not taken ({name})"
     finally:
-        K.site_stats_compact_batch_u8 = orig
+        K.site_stats_compact_batch_sparse = orig
 
     for tbl in ("cumulative_snv_table", "cumulative_scaffold_table",
                 "raw_linkage_table", "raw_snp_table"):
@@ -439,7 +449,7 @@ def test_batch_pipeline_depth_invariant(ref_null_model):
         L = 1500 + 13 * i
         counts = rng.integers(0, 12, (3, 4, L)).astype(np.int16)
         counts[rng.random(counts.shape) < 0.5] = 0
-        counts[0, 0, :: 97] = 300  # exercise u8 corrections
+        counts[0, 0, :: 97] = 300  # exercise saturation corrections
         pus.append(ScaffoldPileup(name=f"p{i}", rid=i, length=L,
                                   mm_values=np.arange(3), counts=counts))
         codes.append(rng.integers(0, 4, L).astype(np.uint8))
@@ -474,3 +484,59 @@ def test_batch_pipeline_depth_invariant(ref_null_model):
                 va = np.nan_to_num(np.asarray(a.dense[k]), nan=-7.5)
                 vb = np.nan_to_num(np.asarray(b.dense[k]), nan=-7.5)
                 assert np.array_equal(va, vb), ("dense", k)
+
+
+def test_relay_stall_watchdog(caplog, monkeypatch, ref_null_model):
+    """A launch blocked far past the trailing-median launch time emits a
+    WARNING with phase attribution, and the run still completes (the
+    round-3 sweep recorded a 709 s iteration with zero log output)."""
+    import logging
+    import time as time_mod
+
+    from instrain_tpu.profile.pileup import ScaffoldPileup, make_luts
+    from instrain_tpu.config import VariantConfig
+
+    # shrink the watchdog so the faked stall trips within the test
+    monkeypatch.setattr(compact, "STALL_CHECK_S", 0.05)
+    monkeypatch.setattr(compact, "STALL_FLOOR_S", 0.2)
+    monkeypatch.setattr(compact, "STALL_FACTOR", 2.0)
+
+    orig = compact.run_site_stats_compact_batch
+
+    def slow(*a, watch=None, **k):
+        if watch is not None:
+            # fake a wedged relay call: a launch phase that never
+            # completes within the watchdog limit
+            watch.enter("launch")
+            time_mod.sleep(0.8)
+            watch.launch_done(0.8)
+        return orig(*a, watch=watch, **k)
+
+    monkeypatch.setattr(compact, "run_site_stats_compact_batch", slow)
+
+    rng = np.random.default_rng(5)
+    pus, codes = [], []
+    for i in range(2):
+        L = 1200 + i
+        counts = rng.integers(0, 10, (2, 4, L)).astype(np.int16)
+        counts[rng.random(counts.shape) < 0.5] = 0
+        pus.append(ScaffoldPileup(name=f"w{i}", rid=i, length=L,
+                                  mm_values=np.arange(2), counts=counts))
+        codes.append(rng.integers(0, 4, L).astype(np.uint8))
+    vcfg = VariantConfig()
+    vcfg.null_model = ref_null_model
+    null_lut, freq_lut = make_luts(vcfg)
+
+    # warm the bucket's speculative wire capacities (an overflow on the
+    # very first launch returns None by protocol — the pipeline retries
+    # those per-scaffold; here we want landed results)
+    orig(pus, codes, null_lut, freq_lut, with_dense=True)
+
+    with caplog.at_level(logging.WARNING):
+        got = dict(compact.iter_site_stats_compact_batch(
+            pus, codes, null_lut, freq_lut, with_dense=True))
+    assert len(got) == 2 and all(v is not None for v in got.values())
+    stalls = [r for r in caplog.records
+              if "relay stall" in r.getMessage()]
+    assert stalls, "watchdog did not warn on the faked stall"
+    assert "phase 'launch'" in stalls[0].getMessage()
