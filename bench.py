@@ -117,10 +117,16 @@ def bench_sars():
     # per-buffer h2d synchronization pays the ~25 ms relay latency per
     # transfer instead of overlapping it, so breakdown_s sums above the
     # headline steady_s by design
+    import bench_util
     ph = {}
     compact.TIMINGS = {}
-    run_once_sars(refseq, luts, phases=ph)
+    spy = bench_util.KernelSpy()
+    with spy.active():
+        run_once_sars(refseq, luts, phases=ph)
     ph.update(compact.TIMINGS)
+    util = bench_util.device_util_summary(
+        spy.cost_analyses(), compact.TIMINGS.get("compute", 0.0),
+        compact.TIMINGS.get("launches", 0))
     compact.TIMINGS = None
 
     pairs_per_sec = n_pairs / steady
@@ -138,6 +144,7 @@ def bench_sars():
         "reads_per_sec": round(n_reads / steady, 1),
         "breakdown_s": {k: round(v, 4) if isinstance(v, float) else v
                         for k, v in ph.items()},
+        "device_util": util,
     }
 
 
@@ -195,13 +202,19 @@ def bench_batch_metagenome():
     wrap("filter_reads", "filter")
     wrap("build_scaffold_pileup_padded", "pileup_build")
     wrap("build_scaffold_pileup", "pileup_build")
+    import bench_util
+    spy = bench_util.KernelSpy()
     try:
         compact.TIMINGS = {}
         pl.PHASES = phases  # main-thread wall accounting (pipeline.py)
         t0 = time.time()
-        run(os.path.join(workdir, "instr.IS"))
+        with spy.active():
+            run(os.path.join(workdir, "instr.IS"))
         phases["instr_wall"] = time.time() - t0
         phases.update(compact.TIMINGS)
+        util = bench_util.device_util_summary(
+            spy.cost_analyses(), compact.TIMINGS.get("compute", 0.0),
+            compact.TIMINGS.get("launches", 0))
     finally:
         for name, fn in orig.items():
             setattr(pl, name, fn)
@@ -222,6 +235,7 @@ def bench_batch_metagenome():
                                    1),
         "breakdown_s": {k: round(v, 4) if isinstance(v, float) else v
                         for k, v in phases.items()},
+        "device_util": util,
     }
 
 

@@ -1,0 +1,151 @@
+"""
+Device-utilization accounting for the bench harnesses.
+
+Answers the BASELINE.json north-star question "how far are the hot
+kernels from speed-of-light HBM bandwidth?" (the reference has no such
+notion — its per-core cost model is
+/root/reference/inStrain/profile/profile_controller.py:460-465): for the
+site-stats kernel launches the benchmark actually made, obtain XLA's own
+post-optimization cost analysis (bytes accessed / FLOPs) and divide by
+the measured on-device compute seconds and the chip's peak HBM
+bandwidth.
+
+No kernel-module source is modified (editing kernels/sitestats.py or
+profile/compact.py invalidates the persistent compile cache — CLAUDE.md);
+the kernel entry points are spied by rebinding module attributes at
+runtime, and cost analysis re-lowers the jitted function at the captured
+shapes (hitting the in-process/persistent compile caches).
+"""
+
+from __future__ import annotations
+
+import contextlib
+from typing import Dict, List, Optional
+
+# Peak HBM bandwidth per chip, bytes/s. Sources: public TPU system
+# architecture pages (cloud.google.com/tpu/docs/system-architecture) /
+# jax-ml.github.io/scaling-book hardware tables.
+_HBM_PEAK = [
+    ("v5 lite", 819e9), ("v5e", 819e9),
+    ("v5p", 2765e9), ("v5", 1228e9),  # "v5" fallback after the specifics
+    ("v6 lite", 1640e9), ("v6e", 1640e9), ("trillium", 1640e9),
+    ("v4", 1228e9),
+    ("v3", 900e9),
+    ("v2", 700e9),
+]
+
+
+def device_kind_and_peak():
+    import jax
+    kind = jax.devices()[0].device_kind
+    low = kind.lower()
+    for tag, peak in _HBM_PEAK:
+        if tag in low:
+            return kind, peak
+    return kind, None
+
+
+class KernelSpy:
+    """Capture the concrete (args, kwargs) of the first call per distinct
+    compiled variant of selected jitted kernel entry points."""
+
+    def __init__(self, names=("site_stats_compact_batch_sparse",
+                              "site_stats_compact_sparse",
+                              "site_stats_compact",
+                              "site_stats_compact_batch")):
+        self.names = names
+        self.calls: Dict[str, tuple] = {}
+
+    @contextlib.contextmanager
+    def active(self):
+        from instrain_tpu.kernels import sitestats as ss
+        origs = {}
+        try:
+            for name in self.names:
+                orig = getattr(ss, name)
+                origs[name] = orig
+
+                def make(name=name, orig=orig):
+                    def spy(*a, **k):
+                        # one representative call per (name, static kwargs)
+                        key = f"{name}|{sorted(k.items())!r}"
+                        self.calls.setdefault(key, (name, orig, a, k))
+                        return orig(*a, **k)
+                    return spy
+                setattr(ss, name, make())
+            yield self
+        finally:
+            for name, orig in origs.items():
+                setattr(ss, name, orig)
+
+    def cost_analyses(self) -> List[Dict]:
+        """XLA cost analysis per captured kernel variant. Best-effort:
+        returns [] when the backend doesn't expose it."""
+        out = []
+        for name, orig, a, k in self.calls.values():
+            ca = _cost_analysis(orig, a, k)
+            if ca:
+                shapes = [tuple(getattr(x, "shape", ())) for x in a]
+                out.append({"kernel": name, "arg_shapes": shapes, **ca})
+        return out
+
+
+def _cost_analysis(fn, args, kwargs) -> Optional[Dict]:
+    try:
+        lowered = fn.lower(*args, **kwargs)
+    except Exception:
+        return None
+    ca = None
+    try:
+        ca = lowered.compile().cost_analysis()
+    except Exception:
+        try:
+            ca = lowered.cost_analysis()
+        except Exception:
+            return None
+    if ca is None:
+        return None
+    # jax versions differ: dict, or list with one dict
+    if isinstance(ca, (list, tuple)):
+        ca = ca[0] if ca else {}
+    get = ca.get if hasattr(ca, "get") else lambda *_: None
+    bytes_accessed = get("bytes accessed")
+    flops = get("flops")
+    out = {}
+    if bytes_accessed is not None:
+        out["bytes_accessed"] = float(bytes_accessed)
+    if flops is not None:
+        out["flops"] = float(flops)
+    return out or None
+
+
+def device_util_summary(analyses: List[Dict], compute_s: float,
+                        launches: int) -> Optional[Dict]:
+    """Achieved HBM bytes/s vs peak for the dominant kernel.
+
+    `compute_s` / `launches` come from compact.TIMINGS (synchronized
+    wall time around each kernel call, which on this relay includes the
+    dispatch round-trip — so `hbm_util` is a LOWER bound on true kernel
+    HBM utilization)."""
+    if not analyses or not compute_s or not launches:
+        return None
+    main = max(analyses, key=lambda d: d.get("bytes_accessed", 0.0))
+    ba = main.get("bytes_accessed")
+    if not ba:
+        return None
+    kind, peak = device_kind_and_peak()
+    per_launch_s = compute_s / launches
+    achieved = ba / per_launch_s
+    out = {
+        "kernel": main["kernel"],
+        "bytes_accessed_per_launch": ba,
+        "flops_per_launch": main.get("flops"),
+        "launches": launches,
+        "compute_s_per_launch": round(per_launch_s, 4),
+        "achieved_bytes_per_s": round(achieved, 1),
+        "device_kind": kind,
+    }
+    if peak:
+        out["hbm_peak_bytes_per_s"] = peak
+        out["hbm_util"] = round(achieved / peak, 4)
+    return out

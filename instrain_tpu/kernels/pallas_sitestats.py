@@ -167,24 +167,17 @@ def site_stats_pallas_full(counts, ref_codes, null_lut, freq_lut, rng_key,
     ref_count = (cum * ref_sel[None, :, :]).sum(axis=1)
 
     # rarefied clonality: identical draw scheme (and key) to site_stats
+    # (counter-based threefry — see sitestats._clonR_values)
+    from .sitestats import _clonR_values
     with jax.numpy_dtype_promotion("standard"):
         p = cum.astype(jnp.float32) / jnp.maximum(
             total.astype(jnp.float32), 1.0)[:, None, :]
     clonR_set = present & (total >= min_covR)
     cdf = jnp.cumsum(p, axis=1)
-
-    def draw(carry, key):
-        u = jax.random.uniform(key, (M, 1, L), dtype=jnp.float32)
-        cat = (u > cdf[:, :3, :]).sum(axis=1)
-        onehot = (cat[:, None, :] ==
-                  jnp.arange(4, dtype=cat.dtype)[None, :, None])
-        return carry + onehot.astype(jnp.float32), None
-
-    keys = jax.random.split(rng_key, rarefied_draws)
-    rcounts, _ = jax.lax.scan(draw, jnp.zeros((M, 4, L), jnp.float32),
-                              keys)
-    rp = rcounts / float(rarefied_draws)
-    clonR = jnp.where(clonR_set, (rp * rp).sum(axis=1), jnp.nan)
+    clonR_val = _clonR_values(rng_key, cdf,
+                              jnp.arange(L, dtype=jnp.uint32),
+                              rarefied_draws)
+    clonR = jnp.where(clonR_set, clonR_val, jnp.nan)
 
     emits_snp = row & (morphia >= 2)
     any_snp_incl = jnp.cumsum(emits_snp.astype(jnp.int32), axis=0) > 0

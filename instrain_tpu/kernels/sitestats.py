@@ -63,12 +63,106 @@ def freq_min_count_lut(min_freq: float, max_coverage: int = 10000) -> np.ndarray
     return c.astype(np.int32)
 
 
+def _threefry2x32(k0, k1, x0, x1):
+    """Threefry-2x32, 20 rounds (Salmon et al., SC'11 — the same
+    permutation JAX's default PRNG uses), on uint32 lanes. Implemented
+    directly so the rarefied draws can be evaluated at ARBITRARY
+    (draw, position) counter values: the value at a given counter is
+    independent of array shape, so a kernel that draws only at gathered
+    qualifying positions is bit-identical to one that draws densely
+    (and to any sharded variant — position indices are global iotas)."""
+    ks0, ks1 = k0, k1
+    ks2 = jnp.uint32(0x1BD11BDA) ^ ks0 ^ ks1
+
+    def four(x0, x1, rots):
+        for r in rots:
+            x0 = x0 + x1
+            x1 = (x1 << r) | (x1 >> (32 - r))
+            x1 = x1 ^ x0
+        return x0, x1
+
+    ra = (13, 15, 26, 6)
+    rb = (17, 29, 16, 24)
+    x0 = x0 + ks0
+    x1 = x1 + ks1
+    x0, x1 = four(x0, x1, ra)
+    x0 = x0 + ks1
+    x1 = x1 + ks2 + jnp.uint32(1)
+    x0, x1 = four(x0, x1, rb)
+    x0 = x0 + ks2
+    x1 = x1 + ks0 + jnp.uint32(2)
+    x0, x1 = four(x0, x1, ra)
+    x0 = x0 + ks0
+    x1 = x1 + ks1 + jnp.uint32(3)
+    x0, x1 = four(x0, x1, rb)
+    x0 = x0 + ks1
+    x1 = x1 + ks2 + jnp.uint32(4)
+    x0, x1 = four(x0, x1, ra)
+    x0 = x0 + ks2
+    x1 = x1 + ks0 + jnp.uint32(5)
+    return x0, x1
+
+
+def _key_words(rng_key):
+    """(k0, k1) uint32 words from a raw uint32[2] key array or a typed
+    PRNG key."""
+    if jnp.issubdtype(jnp.asarray(rng_key).dtype, jax.dtypes.prng_key):
+        rng_key = jax.random.key_data(rng_key)
+    rng_key = jnp.asarray(rng_key, dtype=jnp.uint32)
+    return rng_key[0], rng_key[1]
+
+
+def _ctr_uniform(k0, k1, ctr0, ctr1):
+    """Uniform [0, 1) float32 at counter (ctr0, ctr1) under key
+    (k0, k1): first threefry output word, mantissa-stuffed into [1, 2)
+    and shifted down (the same bits->float construction
+    jax.random.uniform uses)."""
+    b0, _ = _threefry2x32(k0, k1, ctr0.astype(jnp.uint32),
+                          ctr1.astype(jnp.uint32))
+    f = jax.lax.bitcast_convert_type(
+        (b0 >> 9) | jnp.uint32(0x3F800000), jnp.float32)
+    return f - jnp.float32(1.0)
+
+
+def _clonR_values(rng_key, cdf, pos_idx, rarefied_draws: int):
+    """Rarefied clonality values from `rarefied_draws` categorical draws
+    of the per-base cumulative probabilities.
+
+    cdf: [M, 4, P] cumulative base probabilities; pos_idx: [P] GLOBAL
+    (padded-axis) position indices; returns [M, P] sum(p_i^2) over the
+    drawn base frequencies (snv_utilities.py:233-247's
+    np.random.choice(reads, rarefied_coverage) resample, with a
+    counter-based PRNG: draw d at mm row m, position p uses counter
+    (d*M + m, p) — identical values for any P/gather pattern)."""
+    M = cdf.shape[0]
+    P = cdf.shape[2]
+    k0, k1 = _key_words(rng_key)
+    m_idx = jnp.arange(M, dtype=jnp.uint32)[:, None]         # [M, 1]
+    p_idx = pos_idx.astype(jnp.uint32)[None, :]              # [1, P]
+
+    def draw(carry, d):
+        u = _ctr_uniform(k0, k1, d * jnp.uint32(M) + m_idx,
+                         jnp.broadcast_to(p_idx, (M, P)))    # [M, P]
+        cat = (u[:, None, :] > cdf[:, :3, :]).sum(axis=1)    # [M, P] 0..3
+        onehot = (cat[:, None, :] ==
+                  jnp.arange(4, dtype=cat.dtype)[None, :, None])
+        return carry + onehot.astype(jnp.float32), None
+
+    rcounts, _ = jax.lax.scan(
+        draw, jnp.zeros((M, 4, P), jnp.float32),
+        jnp.arange(rarefied_draws, dtype=jnp.uint32))
+    rp = rcounts / float(rarefied_draws)
+    return (rp * rp).sum(axis=1)                             # [M, P]
+
+
 @functools.partial(
     jax.jit,
-    static_argnames=("min_cov", "min_covR", "rarefied_draws"))
+    static_argnames=("min_cov", "min_covR", "rarefied_draws",
+                     "with_clonR"))
 def site_stats(counts, ref_codes, null_lut, freq_lut, rng_key,
                min_cov: int = 5, min_covR: int = 50,
-               rarefied_draws: int = 50) -> Dict[str, jnp.ndarray]:
+               rarefied_draws: int = 50,
+               with_clonR: bool = True) -> Dict[str, jnp.ndarray]:
     """
     Args:
       counts: int32 [M, 4, L] — exact-mm base counts per position
@@ -151,22 +245,19 @@ def site_stats(counts, ref_codes, null_lut, freq_lut, rng_key,
 
     # ---- rarefied clonality (multinomial draw of rarefied_draws reads) ----
     clonR_set = present & (total >= min_covR)
-    # categorical draws via cumulative probabilities, accumulated over a
-    # scan to bound memory at [M, 4, L] per step
+    # categorical draws via cumulative probabilities with counter-based
+    # threefry uniforms (see _clonR_values): with_clonR=False skips the
+    # draw loop entirely and hands `cdf` back so the caller can draw at
+    # GATHERED qualifying positions only — bit-identical values, a tiny
+    # fraction of the work when few positions reach rarefied coverage
     cdf = jnp.cumsum(p, axis=1)                         # [M, 4, L]
-
-    def draw(carry, key):
-        u = jax.random.uniform(key, (M, 1, L), dtype=jnp.float32)
-        cat = (u > cdf[:, :3, :]).sum(axis=1)           # [M, L] in 0..3
-        onehot = (cat[:, None, :] ==
-                  jnp.arange(4, dtype=cat.dtype)[None, :, None])
-        return carry + onehot.astype(jnp.float32), None
-
-    keys = jax.random.split(rng_key, rarefied_draws)
-    rcounts, _ = jax.lax.scan(draw, jnp.zeros((M, 4, L), jnp.float32), keys)
-    rp = rcounts / float(rarefied_draws)                # [M, 4, L]
-    clonR_val = (rp * rp).sum(axis=1)
-    clonR = jnp.where(clonR_set, clonR_val, jnp.nan)
+    if with_clonR:
+        clonR_val = _clonR_values(rng_key, cdf,
+                                  jnp.arange(L, dtype=jnp.uint32),
+                                  rarefied_draws)       # [M, L]
+        clonR = jnp.where(clonR_set, clonR_val, jnp.nan)
+    else:
+        clonR = jnp.broadcast_to(jnp.float32(jnp.nan), (M, L))
 
     # ---- cryptic state machine over ascending mm ----
     emits_snp = row & (morphia >= 2)                    # anySNP trigger
@@ -185,13 +276,16 @@ def site_stats(counts, ref_codes, null_lut, freq_lut, rng_key,
     var_oh = jax.nn.one_hot(var, 4, axis=1, dtype=jnp.int32)
     bases_mask = (((con_oh | var_oh) * m2[:, None, :]).sum(axis=0) > 0)  # [4, L]
 
-    return dict(
+    out = dict(
         present=present, cum=cum, total=total, morphia=morphia,
         con=con, var=var, call=call, row=row, cls=cls,
         clon=clon, clonR=clonR, clonR_set=clonR_set,
         cryptic=cryptic, any_snp=any_snp, bases_mask=bases_mask,
         ref_count=ref_count,
     )
+    if not with_clonR:
+        out["cdf"] = cdf
+    return out
 
 
 # ---------------------------------------------------------------------------
@@ -274,14 +368,47 @@ def site_stats_compact_batch(counts, ref_codes, lens, null_lut, freq_lut,
 
 def _site_stats_compact_traced(counts, ref_codes, null_lut, freq_lut,
                                rng_key, true_len, **kw):
-    """site_stats_compact with a traced true_len (used under vmap)."""
-    # replicate site_stats_compact but with pos_ok from a traced scalar
+    """site_stats_compact with a traced true_len (used under vmap).
+
+    With gather_clonR (the single-dispatch sparse wire paths), the
+    rarefied draw loop runs ONLY at the <= rpos_capacity positions where
+    some mm level reaches rarefied coverage, instead of densely over
+    every (mm, position) cell — the dominant device cost at metagenome
+    scale, where typically <1% of positions reach 50x. The counter-based
+    PRNG (_clonR_values) makes the gathered values bit-identical to the
+    dense path's, so every engine still agrees exactly. When more than
+    rpos_capacity positions qualify, `n_rar` in the wire tells the
+    caller to retry with a raised capacity (same protocol as the
+    SNP-row/linkage capacities)."""
+    gather = bool(kw.get("gather_clonR"))
     full = site_stats.__wrapped__(counts, ref_codes, null_lut, freq_lut,
                                   rng_key, min_cov=kw["min_cov"],
                                   min_covR=kw["min_covR"],
-                                  rarefied_draws=kw["rarefied_draws"])
+                                  rarefied_draws=kw["rarefied_draws"],
+                                  with_clonR=not gather)
+    clonR_gathered = None
+    if gather:
+        M, _, L = counts.shape
+        cap = kw["rpos_capacity"]
+        rset_any = jnp.any(full["clonR_set"], axis=0)        # [L]
+        (ridx,) = jnp.nonzero(rset_any, size=cap, fill_value=-1)
+        rvalid = ridx >= 0
+        safe = jnp.maximum(ridx, 0)
+        vals_g = _clonR_values(rng_key, full["cdf"][:, :, safe],
+                               safe, kw["rarefied_draws"])   # [M, cap]
+        set_g = full["clonR_set"][:, safe] & rvalid[None, :]
+        clonR_g = jnp.where(set_g, vals_g, jnp.nan)
+        n_rar = rset_any.sum()
+        clonR_gathered = dict(vals=clonR_g, set=set_g, valid=rvalid,
+                              pos=jnp.where(rvalid, safe,
+                                            -1).astype(jnp.int32),
+                              n=n_rar)
     out = _compact_from_full(full, counts, kw["snp_capacity"],
-                             kw["pos_capacity"], true_len)
+                             kw["pos_capacity"], true_len,
+                             clonR_gathered=clonR_gathered)
+    if gather:
+        # gather-capacity overflow must be detectable in every mode
+        out["linkage"]["n_rar"] = clonR_gathered["n"]
     if kw.get("with_dense"):
         if kw.get("dense_device", True):
             out["dense"] = dict(clon=full["clon"], clonR=full["clonR"],
@@ -293,20 +420,15 @@ def _site_stats_compact_traced(counts, ref_codes, null_lut, freq_lut,
             # packed wire: values only at positions where any mm level
             # reaches rarefied coverage (few in practice — a dense
             # [M, L] f32 fetch used to dominate the transfer)
-            clonR = full["clonR"]
-            rset_any = jnp.any(full["clonR_set"], axis=0)    # [L]
-            cap = kw["rpos_capacity"]
-            (ridx,) = jnp.nonzero(rset_any, size=cap, fill_value=-1)
-            rvalid = ridx >= 0
-            safe = jnp.maximum(ridx, 0)
             out["clonR_sparse"] = dict(
-                pos=jnp.where(rvalid, safe, -1).astype(jnp.int32),
-                vals=clonR[:, safe].astype(jnp.float32),
-                n=rset_any.sum())
+                pos=clonR_gathered["pos"],
+                vals=clonR_gathered["vals"].astype(jnp.float32),
+                n=clonR_gathered["n"])
     return out
 
 
-def _compact_from_full(full, counts, snp_capacity, pos_capacity, true_len):
+def _compact_from_full(full, counts, snp_capacity, pos_capacity, true_len,
+                       clonR_gathered=None):
     M, B, L = counts.shape
     Lt = true_len
 
@@ -355,15 +477,31 @@ def _compact_from_full(full, counts, snp_capacity, pos_capacity, true_len):
     clon_sorted = jnp.sort(jnp.where(has_clon, clon_f, jnp.inf), axis=1)
     clon_median = _masked_median(clon_sorted, counted)
 
-    clonR_set = ~jnp.isnan(clonR) & pos_ok
-    clonR_f = _ffill_scan(jnp.where(clonR_set, clonR, 0.0), clonR_set,
-                          jnp.nan)
-    hasR = jnp.cumsum(clonR_set, axis=0) > 0
-    rarefied = hasR.sum(axis=1)
-    clonR_sum = jnp.where(hasR, clonR_f, 0.0).astype(
-        jnp.float64).sum(axis=1)
-    clonR_sorted = jnp.sort(jnp.where(hasR, clonR_f, jnp.inf), axis=1)
-    clonR_median = _masked_median(clonR_sorted, rarefied)
+    if clonR_gathered is None:
+        clonR_set = ~jnp.isnan(clonR) & pos_ok
+        clonR_f = _ffill_scan(jnp.where(clonR_set, clonR, 0.0), clonR_set,
+                              jnp.nan)
+        hasR = jnp.cumsum(clonR_set, axis=0) > 0
+        rarefied = hasR.sum(axis=1)
+        clonR_sum = jnp.where(hasR, clonR_f, 0.0).astype(
+            jnp.float64).sum(axis=1)
+        clonR_sorted = jnp.sort(jnp.where(hasR, clonR_f, jnp.inf), axis=1)
+        clonR_median = _masked_median(clonR_sorted, rarefied)
+    else:
+        # clonR exists only at the gathered qualifying positions; the
+        # per-column ffill/sum/median over those columns equals the
+        # dense computation restricted to them (non-qualifying columns
+        # never contribute: hasR is false everywhere on them)
+        set_g = clonR_gathered["set"]                      # [M, cap]
+        vals_g = clonR_gathered["vals"]
+        clonR_f = _ffill_scan(jnp.where(set_g, vals_g, 0.0), set_g,
+                              jnp.nan)
+        hasR = jnp.cumsum(set_g, axis=0) > 0
+        rarefied = hasR.sum(axis=1)
+        clonR_sum = jnp.where(hasR, clonR_f, 0.0).astype(
+            jnp.float64).sum(axis=1)
+        clonR_sorted = jnp.sort(jnp.where(hasR, clonR_f, jnp.inf), axis=1)
+        clonR_median = _masked_median(clonR_sorted, rarefied)
 
     mor_f = _ffill_scan(full["morphia"].astype(jnp.int32), row, -1)
     cls_f = _ffill_scan(full["cls"].astype(jnp.int32), row, -1)
@@ -470,12 +608,13 @@ def site_stats_compact_sparse(mask_u8, vals_u8, corr_idx, corr_val,
     counts = _densify_sparse(mask_u8, vals_u8, corr_idx, corr_val, shape)
     # dense_device=False: the host reconstructs `total` and `clon`
     # natively from the counts it already holds (io.bam.clon_cum16), so
-    # only the PRNG-dependent clonR crosses — sparsely, in the wire
+    # only the PRNG-dependent clonR crosses — sparsely, in the wire;
+    # gather_clonR: the rarefied draws run at qualifying positions only
     out = _site_stats_compact_traced(
         counts, ref_codes, null_lut, freq_lut, rng_key, true_len,
         min_cov=min_cov, min_covR=min_covR, rarefied_draws=rarefied_draws,
         snp_capacity=snp_capacity, pos_capacity=pos_capacity,
-        rpos_capacity=rpos_capacity,
+        rpos_capacity=rpos_capacity, gather_clonR=True,
         with_dense=with_dense, dense_device=False)
     out = _pack_wire(out)
     return _pack_out(out, spec_key)
@@ -599,11 +738,14 @@ def _pack_wire(out):
                         any_snp=jnp.packbits(m["any_snp"], axis=-1),
                         bases_mask=jnp.packbits(m["bases_mask"], axis=-1))
     lk = out["linkage"]
-    out["linkage"] = dict(
+    packed = dict(
         valid=lk["valid"], pos=lk["pos"], present=lk["present"],
         n_pos=lk["n_pos"],
         cum=jnp.minimum(lk["cum"], 32767).astype(jnp.int16),
         cum_overflow=(lk["cum"].max() > 32767))
+    if "n_rar" in lk:
+        packed["n_rar"] = lk["n_rar"]
+    out["linkage"] = packed
     return out
 
 
@@ -638,7 +780,7 @@ def site_stats_compact_batch_sparse(mask_u8, vals_u8, corr_idx, corr_val,
             c, r, null_lut, freq_lut, k, l, min_cov=min_cov,
             min_covR=min_covR, rarefied_draws=rarefied_draws,
             snp_capacity=snp_capacity, pos_capacity=pos_capacity,
-            rpos_capacity=rpos_capacity,
+            rpos_capacity=rpos_capacity, gather_clonR=True,
             with_dense=with_dense, dense_device=False)
         return _pack_wire(out)
 

@@ -287,7 +287,10 @@ def _run_compact_sparse(counts: np.ndarray, ref_codes: np.ndarray, L: int,
         n_rows = int(out["rows"]["n_rows"])
         n_pos = int(out["linkage"]["n_pos"])
         sp = out.pop("clonR_sparse", None)
-        n_rar = int(sp["n"]) if sp is not None else 0
+        # the kernel's rarefied draws run at gathered positions only;
+        # n_rar > rpos capacity means clonR aggregates are incomplete in
+        # EVERY mode, not just when the sparse clonR rides the wire
+        n_rar = int(out["linkage"].pop("n_rar", 0))
         if (n_rows <= caps["snp"] and n_pos <= caps["pos"] and
                 n_rar <= caps["rpos"]):
             Lp = counts.shape[-1]
@@ -736,11 +739,13 @@ def _finish_batch_chunk(rec, results, min_cov, with_dense, emit=None,
                             for kk, v in dense.items()}
         n_rows = int(cs.rows["n_rows"])
         n_pos = int(cs.linkage["n_pos"])
-        n_rar = int(clonR_sp["n"][k]) if clonR_sp is not None else 0
+        # gathered-rarefied capacity overflow (incomplete clonR
+        # aggregates) applies in every sparse mode
+        n_rar = int(cs.linkage.pop("n_rar", 0)) if wire_sp else 0
+        rpos_cap = rec["skey"][6] if wire_sp else 0  # launch's actual cap
         if (n_rows > len(cs.rows["pos"]) or
                 n_pos > len(cs.linkage["pos"]) or
-                (clonR_sp is not None and
-                 n_rar > clonR_sp["pos"].shape[1]) or
+                (wire_sp and n_rar > rpos_cap) or
                 bool(cum_overflow[k])):
             # overflowed the batch wire capacity -> re-run per-scaffold;
             # raise this bucket's speculative high-water mark for later
@@ -824,19 +829,34 @@ def run_site_stats_compact_batch(pileups, ref_codes_list, null_lut,
         # the sparse wire fits ~6x more scaffolds per launch, so also
         # bound the launch's DENSE device working set (the kernel
         # densifies to [S, Mp, 4, Lp] int32 + comparable intermediates)
-        chunk = max(1, min(max_chunk_bytes // per_scaffold,
-                           (1 << 27) // (Mp * 4 * Lp)))
-        for c0 in range(0, len(items), chunk):
-            part = items[c0:c0 + chunk]
+        cap = max(1, min(max_chunk_bytes // per_scaffold,
+                         (1 << 27) // (Mp * 4 * Lp)))
+        # power-of-two chunk decomposition: launches come in pow2 sizes
+        # <= cap (the remainder padded UP to the next pow2), so compiled
+        # kernel shapes form a tiny reusable set AND no launch carries
+        # the near-100% dead-slot padding a fixed chunk size inflicted
+        # on tails (128 scaffolds at cap 94 used to run as 2 x 94 slots
+        # — 47% wasted device compute; now 2 x 64 with zero waste)
+        base = 1 << (cap.bit_length() - 1)
+        c0 = 0
+        n = len(items)
+        while c0 < n:
+            take = base
+            while take > n - c0:
+                take >>= 1
+            if take < n - c0:        # mid-run: full pow2 chunk
+                part = items[c0:c0 + take]
+                pad_to = take
+            else:                    # tail: pad up to the next pow2
+                part = items[c0:]
+                pad_to = 1 << max(0, (len(part) - 1)).bit_length()
+            c0 += len(part)
             # the sparse wire needs int16 counts (native padded-builder
-            # pileups pack zero-copy; ragged int16 via per-scaffold temps)
+            # pileups pack zero-copy; ragged int16 via per-scaffold
+            # temps)
             use_sparse = (all(pu.counts.dtype == np.int16
                           for _, pu, _ in part) and
-                      chunk * Mp * 4 * Lp < (1 << 31))
-            # pad the tail chunk to the full chunk size so the bucket
-            # needs exactly ONE compiled kernel shape (a distinct tail
-            # size would otherwise cost a fresh XLA compile)
-            pad_to = chunk if len(items) > chunk else None
+                      pad_to * Mp * 4 * Lp < (1 << 31))
             chunks.append((part, Mp, Lp, use_sparse, pad_to))
 
     # benchmark instrumentation synchronizes every phase, so keep the

@@ -248,3 +248,45 @@ class TestSarsGolden:
         for col in ["r2", "d_prime"]:
             assert np.allclose(m[col + "_g"], m[col + "_o"], atol=1e-12,
                                equal_nan=True), col
+
+
+class TestCounterPRNG:
+    """The counter-based threefry behind the rarefied draws
+    (kernels/sitestats.py:_threefry2x32/_clonR_values): the generator is
+    the REAL Threefry-2x32 permutation (bit-identical to JAX's own), and
+    the draw values are gather-invariant — drawing at a gathered subset
+    of positions reproduces the dense draw exactly, which is what lets
+    the sparse kernels run the draw loop only at qualifying positions."""
+
+    def test_threefry_matches_jax(self):
+        from instrain_tpu.kernels.sitestats import _threefry2x32
+        try:
+            from jax._src import prng as jprng
+        except ImportError:
+            pytest.skip("jax internal prng module moved")
+        import jax.numpy as jnp
+        rng = np.random.default_rng(0)
+        key = rng.integers(0, 2**32, 2, dtype=np.uint32)
+        cnt = rng.integers(0, 2**32, 64, dtype=np.uint32)
+        ref = np.asarray(jprng.threefry_2x32(jnp.asarray(key),
+                                             jnp.asarray(cnt)))
+        a, b = _threefry2x32(jnp.uint32(key[0]), jnp.uint32(key[1]),
+                             jnp.asarray(cnt[:32]), jnp.asarray(cnt[32:]))
+        assert np.array_equal(ref, np.concatenate([np.asarray(a),
+                                                   np.asarray(b)]))
+
+    def test_clonR_gather_invariant(self):
+        from instrain_tpu.kernels.sitestats import _clonR_values
+        import jax.numpy as jnp
+        rng = np.random.default_rng(7)
+        M, L = 4, 257
+        p = rng.random((M, 4, L)).astype(np.float32)
+        p /= p.sum(axis=1, keepdims=True)
+        cdf = jnp.cumsum(jnp.asarray(p), axis=1)
+        key = np.asarray(jax.random.PRNGKey(42))
+        dense = np.asarray(_clonR_values(
+            key, cdf, jnp.arange(L, dtype=jnp.uint32), 20))
+        sel = np.sort(rng.choice(L, 37, replace=False)).astype(np.uint32)
+        gathered = np.asarray(_clonR_values(
+            key, cdf[:, :, sel], jnp.asarray(sel), 20))
+        np.testing.assert_array_equal(dense[:, sel], gathered)
