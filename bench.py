@@ -129,6 +129,36 @@ def bench_sars():
         compact.TIMINGS.get("launches", 0))
     compact.TIMINGS = None
 
+    # second hot kernel: pairwise-linkage LD on device (the pipeline
+    # auto-selects host for sars-scale pair counts, so measure the
+    # device path explicitly; first call may compile, time the second)
+    util_ld = None
+    try:
+        from instrain_tpu.config import ReadFilterConfig
+        from instrain_tpu.io.bam import decode_bam
+        from instrain_tpu.io.fasta import seq_to_codes
+        from instrain_tpu.profile import linkage as linkage_mod
+        from instrain_tpu.profile.filter_reads import filter_reads
+        from instrain_tpu.profile.pileup import build_scaffold_pileup_padded
+        bam = decode_bam(BAM, ref_seqs={"MT039887.1": refseq}, baq=False)
+        prs = filter_reads(bam, ReadFilterConfig())
+        pu = build_scaffold_pileup_padded(bam, prs, 0, len(refseq))
+        cs = compact.run_site_stats_compact(pu, seq_to_codes(refseq), *luts)
+        ws = linkage_mod.window_starts_for(len(refseq), 10000)
+        spy2 = bench_util.KernelSpy(
+            targets=(("instrain_tpu.kernels.linkage", ("ld_device",)),))
+        with spy2.active():
+            linkage_mod.calculate_linkage(cs, ws, min_snp=20,
+                                          engine="device")
+            t0 = time.perf_counter()
+            linkage_mod.calculate_linkage(cs, ws, min_snp=20,
+                                          engine="device")
+            ld_s = time.perf_counter() - t0
+        util_ld = bench_util.device_util_summary(
+            spy2.cost_analyses(), ld_s, 1)
+    except Exception:
+        pass
+
     pairs_per_sec = n_pairs / steady
     return {
         "pairs_per_sec": round(pairs_per_sec, 1),
@@ -145,6 +175,7 @@ def bench_sars():
         "breakdown_s": {k: round(v, 4) if isinstance(v, float) else v
                         for k, v in ph.items()},
         "device_util": util,
+        "device_util_linkage": util_ld,
     }
 
 

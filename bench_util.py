@@ -45,38 +45,46 @@ def device_kind_and_peak():
     return kind, None
 
 
+_DEFAULT_TARGETS = (
+    ("instrain_tpu.kernels.sitestats",
+     ("site_stats_compact_batch_sparse", "site_stats_compact_sparse",
+      "site_stats_compact", "site_stats_compact_batch")),
+    ("instrain_tpu.kernels.linkage", ("ld_device",)),
+)
+
+
 class KernelSpy:
     """Capture the concrete (args, kwargs) of the first call per distinct
     compiled variant of selected jitted kernel entry points."""
 
-    def __init__(self, names=("site_stats_compact_batch_sparse",
-                              "site_stats_compact_sparse",
-                              "site_stats_compact",
-                              "site_stats_compact_batch")):
-        self.names = names
+    def __init__(self, targets=_DEFAULT_TARGETS):
+        self.targets = targets
         self.calls: Dict[str, tuple] = {}
 
     @contextlib.contextmanager
     def active(self):
-        from instrain_tpu.kernels import sitestats as ss
-        origs = {}
+        import importlib
+        origs = []
         try:
-            for name in self.names:
-                orig = getattr(ss, name)
-                origs[name] = orig
+            for modname, names in self.targets:
+                mod = importlib.import_module(modname)
+                for name in names:
+                    orig = getattr(mod, name)
+                    origs.append((mod, name, orig))
 
-                def make(name=name, orig=orig):
-                    def spy(*a, **k):
-                        # one representative call per (name, static kwargs)
-                        key = f"{name}|{sorted(k.items())!r}"
-                        self.calls.setdefault(key, (name, orig, a, k))
-                        return orig(*a, **k)
-                    return spy
-                setattr(ss, name, make())
+                    def make(name=name, orig=orig):
+                        def spy(*a, **k):
+                            # one representative call per
+                            # (name, static kwargs)
+                            key = f"{name}|{sorted(k.items())!r}"
+                            self.calls.setdefault(key, (name, orig, a, k))
+                            return orig(*a, **k)
+                        return spy
+                    setattr(mod, name, make())
             yield self
         finally:
-            for name, orig in origs.items():
-                setattr(ss, name, orig)
+            for mod, name, orig in origs:
+                setattr(mod, name, orig)
 
     def cost_analyses(self) -> List[Dict]:
         """XLA cost analysis per captured kernel variant. Best-effort:

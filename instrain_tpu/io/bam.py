@@ -83,9 +83,9 @@ def _load_lib():
         ct.c_void_p, ct.c_int32, ct.POINTER(ct.c_int32), ct.c_int32,
         ct.c_int64, ct.c_int64, ct.POINTER(ct.c_int16),
         ct.POINTER(ct.c_int64), ct.POINTER(ct.c_int32), ct.c_uint8]
-    lib.bd_pack_counts_sparse.restype = ct.c_int64
-    lib.bd_pack_counts_sparse.argtypes = [
-        ct.POINTER(ct.c_int16), ct.c_int64, ct.POINTER(ct.c_uint8),
+    lib.bd_pack_counts_sparse_d16.restype = ct.c_int64
+    lib.bd_pack_counts_sparse_d16.argtypes = [
+        ct.POINTER(ct.c_int16), ct.c_int64, ct.POINTER(ct.c_uint16),
         ct.POINTER(ct.c_uint8), ct.c_int64, ct.POINTER(ct.c_int32),
         ct.POINTER(ct.c_int32), ct.c_int64, ct.POINTER(ct.c_int64)]
     lib.bd_total_cum16.restype = None
@@ -404,26 +404,28 @@ def decode_bam(path: str, ref_seqs: Optional[Dict[str, np.ndarray]] = None,
             lib.bd_free(h)
 
 
-def pack_counts_sparse_into(counts16: np.ndarray, mask_out: np.ndarray,
-                            vals_out: np.ndarray, corr_idx: np.ndarray,
-                            corr_val: np.ndarray):
-    """Sparse-pack ONE int16 count tensor into preallocated wire slices:
-    mask_out uint8 [size/8] LSB-first nonzero bitmap (always fully
-    written), vals_out uint8 nonzero values in flat order (saturated at
-    255), corr_idx/corr_val int32 corrections at DENSE flat indices for
-    cells > 255. Returns (nnz, ncorr) — either may exceed its buffer, in
-    which case the caller re-packs with larger buffers (known before any
-    kernel launch). Native single pass (host numpy is
-    bandwidth-throttled; the wire is ~6x smaller than the dense u8 pack
-    at measured pileup densities)."""
+def pack_counts_sparse_d16_into(counts16: np.ndarray,
+                                delta_out: np.ndarray,
+                                vals_out: np.ndarray, corr_idx: np.ndarray,
+                                corr_val: np.ndarray):
+    """Delta-encoded sparse pack of ONE int16 count tensor into
+    preallocated wire slices: delta_out uint16 (gap from the previous
+    emitted dense flat index; >65535 gaps chain through zero-value
+    entries), vals_out uint8 saturated values, corr_idx/corr_val int32
+    corrections for cells > 255. The device reconstructs
+    idx = cumsum(delta) - 1 and scatter-adds (kernels/sitestats.py:
+    _densify_sparse_d16); caller-zeroed padding self-neutralizes
+    (delta 0 / value 0). Returns (nnz, ncorr) — either may exceed its
+    buffer, in which case the caller re-packs with larger buffers
+    (known before any kernel launch)."""
     lib = _load_lib()
-    assert counts16.dtype == np.int16 and counts16.size % 8 == 0
-    assert mask_out.size * 8 == counts16.size
+    assert counts16.dtype == np.int16
+    assert delta_out.dtype == np.uint16 and len(delta_out) == len(vals_out)
     flat = np.ascontiguousarray(counts16).reshape(-1)
     ncorr = ct.c_int64(0)
-    nnz = lib.bd_pack_counts_sparse(
+    nnz = lib.bd_pack_counts_sparse_d16(
         flat.ctypes.data_as(ct.POINTER(ct.c_int16)), flat.size,
-        mask_out.ctypes.data_as(ct.POINTER(ct.c_uint8)),
+        delta_out.ctypes.data_as(ct.POINTER(ct.c_uint16)),
         vals_out.ctypes.data_as(ct.POINTER(ct.c_uint8)), vals_out.size,
         corr_idx.ctypes.data_as(ct.POINTER(ct.c_int32)),
         corr_val.ctypes.data_as(ct.POINTER(ct.c_int32)), len(corr_idx),

@@ -212,20 +212,20 @@ def _clonR_from_sparse(sp: Dict, k, M: int, L: int) -> np.ndarray:
 
 
 def _pack_sparse(counts: np.ndarray, caps: Dict):
-    """Sparse-pack one int16 count tensor with the bucket's speculative
-    vals/corr capacities, re-packing with raised (pow2 high-water)
-    capacities on overflow — known at pack time, before any kernel
-    launch, so no kernel run is ever wasted."""
-    from ..io.bam import pack_counts_sparse_into
-    mask = np.empty(counts.size // 8, np.uint8)
+    """Sparse-pack one int16 count tensor (delta-encoded d16 wire) with
+    the bucket's speculative vals/corr capacities, re-packing with
+    raised (pow2 high-water) capacities on overflow — known at pack
+    time, before any kernel launch, so no kernel run is ever wasted."""
+    from ..io.bam import pack_counts_sparse_d16_into
     while True:
         V, C = caps["vals"], caps["corr"]
+        d16 = np.zeros(V, np.uint16)
         vals = np.zeros(V, np.uint8)
         ci = np.zeros(C, np.int32)
         cv = np.zeros(C, np.int32)
-        nnz, nc = pack_counts_sparse_into(counts, mask, vals, ci, cv)
+        nnz, nc = pack_counts_sparse_d16_into(counts, d16, vals, ci, cv)
         if nnz <= V and nc <= C:
-            return mask, vals, ci, cv
+            return d16, vals, ci, cv
         if nnz > V:
             caps["vals"] = _pow2_capacity(nnz, lo=4096)
         if nc > C:
@@ -247,16 +247,16 @@ def _run_compact_sparse(counts: np.ndarray, ref_codes: np.ndarray, L: int,
         return None
     caps = _bucket_caps(counts.shape)
     t0 = time.perf_counter()
-    mask, vals, cidx, cval = _pack_sparse(counts, caps)
+    d16, vals, cidx, cval = _pack_sparse(counts, caps)
     _t_add("pack", time.perf_counter() - t0)
     from ..kernels.sitestats import unpack_wire
     if TIMINGS is not None:
         # explicit, synchronized h2d so the benchmark can separate the
         # transfer from the compute (production lets dispatch overlap it)
         t0 = time.perf_counter()
-        mask, vals, cidx, cval, ref_codes, null_lut, freq_lut = [
+        d16, vals, cidx, cval, ref_codes, null_lut, freq_lut = [
             jax.block_until_ready(jax.device_put(x))
-            for x in (mask, vals, cidx, cval, ref_codes, null_lut,
+            for x in (d16, vals, cidx, cval, ref_codes, null_lut,
                       freq_lut)]
         _t_add("h2d", time.perf_counter() - t0)
     for _ in range(8):
@@ -265,7 +265,7 @@ def _run_compact_sparse(counts: np.ndarray, ref_codes: np.ndarray, L: int,
                 with_dense, min_cov, rarefied_coverage)
         t0 = time.perf_counter()
         res = site_stats_compact_sparse(
-            mask, vals, cidx, cval, ref_codes, null_lut, freq_lut, key,
+            d16, vals, cidx, cval, ref_codes, null_lut, freq_lut, key,
             np.int32(L), shape=counts.shape, min_cov=min_cov,
             min_covR=rarefied_coverage,
             rarefied_draws=rarefied_coverage,
@@ -521,16 +521,16 @@ def coverage_table_compact(cs: CompactStats) -> pd.DataFrame:
 def _pack_sparse_chunk(part, Mp: int, Lp: int, caps: Dict, Sp0: int):
     """Sparse-pack each scaffold's already-padded int16 counts straight
     into the chunk's wire stacks (native per-scaffold pass — no int16
-    stacking copy): [S, Mp*4*Lp/8] LSB-first nonzero bitmaps +
-    [S, V] flat-order u8 values + [S, C] correction rows (within-scaffold
-    flat indices, so densify stays shard-local under a mesh). V/C are the
-    bucket's speculative high-water marks, raised and re-packed on
-    overflow — known before launch, so no kernel run is wasted.
+    stacking copy): [S, V] uint16 index deltas + [S, V] u8 values +
+    [S, C] correction rows (within-scaffold flat indices, so densify
+    stays shard-local under a mesh). V/C are the bucket's speculative
+    high-water marks, raised and re-packed on overflow — known before
+    launch, so no kernel run is wasted.
     np.zeros = calloc: tail-padding scaffolds stay untouched virtual zero
     pages (an explicit memset cost ~2 s on this bandwidth-throttled
-    host); packed rows overwrite their own pages."""
-    from ..io.bam import pack_counts_sparse_into
-    n8 = Mp * 4 * Lp // 8
+    host); packed rows overwrite their own pages; all-zero pad rows
+    decode to a harmless scatter-add of 0."""
+    from ..io.bam import pack_counts_sparse_d16_into
 
     def padded16(pu):
         # native padded-builder pileups pass through zero-copy; ragged
@@ -545,18 +545,18 @@ def _pack_sparse_chunk(part, Mp: int, Lp: int, caps: Dict, Sp0: int):
 
     while True:
         V, C = caps["vals"], caps["corr"]
-        mask = np.zeros((Sp0, n8), np.uint8)
+        d16 = np.zeros((Sp0, V), np.uint16)
         vals = np.zeros((Sp0, V), np.uint8)
         ci = np.zeros((Sp0, C), np.int32)
         cv = np.zeros((Sp0, C), np.int32)
         need_v = need_c = 0
         for k, (_i, pu, _rc) in enumerate(part):
-            nnz, nc = pack_counts_sparse_into(padded16(pu), mask[k],
-                                              vals[k], ci[k], cv[k])
+            nnz, nc = pack_counts_sparse_d16_into(padded16(pu), d16[k],
+                                                  vals[k], ci[k], cv[k])
             need_v = max(need_v, nnz)
             need_c = max(need_c, nc)
         if need_v <= V and need_c <= C:
-            return mask, vals, ci, cv
+            return d16, vals, ci, cv
         if need_v > V:
             caps["vals"] = _pow2_capacity(need_v, lo=4096)
         if need_c > C:
@@ -591,31 +591,31 @@ def _dispatch_batch_chunk(part, Mp, Lp, use_sparse, null_lut, freq_lut,
         if watch is not None:
             watch.enter("pack")
         t0 = time.perf_counter()
-        mask, vals, cidx_s, cval_s = _pack_sparse_chunk(part, Mp, Lp,
-                                                        caps, Sp0)
+        d16, vals, cidx_s, cval_s = _pack_sparse_chunk(part, Mp, Lp,
+                                                       caps, Sp0)
         _t_add("pack", time.perf_counter() - t0)
         if mesh is not None:
             from ..parallel.mesh import place_batch_sharded
             placed = place_batch_sharded(
-                dict(mask=mask, vals=vals, cidx=cidx_s, cval=cval_s,
+                dict(d16=d16, vals=vals, cidx=cidx_s, cval=cval_s,
                      ref_codes=refs, lens=lens, keys=keys_arr), mesh)
-            mask_d, vals_d = placed["mask"], placed["vals"]
+            d16_d, vals_d = placed["d16"], placed["vals"]
             cidx_d, cval_d = placed["cidx"], placed["cval"]
             refs_d, lens_d, keys_d = (placed["ref_codes"], placed["lens"],
                                       placed["keys"])
-            Sp = mask_d.shape[0]
+            Sp = d16_d.shape[0]
         elif TIMINGS is not None:
             # explicit, synchronized h2d so the benchmark can separate
             # the transfer from the compute (production overlaps it)
             t0 = time.perf_counter()
-            mask_d, vals_d, cidx_d, cval_d, refs_d, lens_d, keys_d = [
+            d16_d, vals_d, cidx_d, cval_d, refs_d, lens_d, keys_d = [
                 jax.block_until_ready(jax.device_put(x))
-                for x in (mask, vals, cidx_s, cval_s, refs, lens,
+                for x in (d16, vals, cidx_s, cval_s, refs, lens,
                           keys_arr)]
             _t_add("h2d", time.perf_counter() - t0)
             Sp = Sp0
         else:
-            mask_d, vals_d, cidx_d, cval_d = mask, vals, cidx_s, cval_s
+            d16_d, vals_d, cidx_d, cval_d = d16, vals, cidx_s, cval_s
             refs_d, lens_d, keys_d = refs, lens, keys_arr
             Sp = Sp0
         snp_cap = min(caps["snp"], Mp * Lp)
@@ -630,7 +630,7 @@ def _dispatch_batch_chunk(part, Mp, Lp, use_sparse, null_lut, freq_lut,
             watch.enter("launch")
         t0 = time.perf_counter()
         res = site_stats_compact_batch_sparse(
-            mask_d, vals_d, cidx_d, cval_d, refs_d, lens_d, null_lut,
+            d16_d, vals_d, cidx_d, cval_d, refs_d, lens_d, null_lut,
             freq_lut, keys_d, shape=(Mp, 4, Lp), min_cov=min_cov,
             min_covR=rarefied_coverage,
             rarefied_draws=rarefied_coverage, snp_capacity=snp_cap,
@@ -821,8 +821,7 @@ def run_site_stats_compact_batch(pileups, ref_codes_list, null_lut,
         # so undersized chunks cost more than oversized.
         bucket16 = all(pu.counts.dtype == np.int16 for _, pu, _ in items)
         if bucket16:
-            per_scaffold = (Mp * 4 * Lp // 8 +
-                            _bucket_caps((Mp, 4, Lp))["vals"] + Lp)
+            per_scaffold = (3 * _bucket_caps((Mp, 4, Lp))["vals"] + Lp)
         else:
             per_scaffold = (Mp * Lp * (12 if with_dense else 4) +
                             4 * Mp * 4 * Lp)

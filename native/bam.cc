@@ -924,46 +924,58 @@ extern "C" int32_t bd_build_counts16(BamData* h, int32_t ref_id,
 
 
 /*
- * Sparse u8 pack of an int16 count tensor (flattened; n must be a
- * multiple of 8): most pileup count cells are zero (measured ~4.5% on a
- * 30x metagenome, <10% on real BAMs), so the wire carries an LSB-first
- * nonzero bitmap (n/8 bytes, always fully written) plus the nonzero
- * values in flat order, saturated at 255 with int32 corrections holding
- * the excess at the DENSE flat index (the device scatter-adds them
- * after densifying).
- * Returns nnz and writes *out_ncorr; vals/corr writes are capped at
- * vals_cap/corr_cap and the caller re-packs with larger buffers when the
- * return values exceed them (known before any kernel launch).
+ * Delta-encoded sparse pack: for each nonzero cell of the flat int16
+ * tensor, emit (u16 delta from the previous emitted dense index, u8
+ * value saturated at 255); cells > 255 get an int32 correction entry at
+ * the dense flat index. Gaps > 65535 are chained through zero-value
+ * entries (they land on zero cells by construction, so the device's
+ * scatter-add of 0 is a no-op). The device decodes idx = cumsum(delta)-1
+ * and scatter-adds the values — ~2x faster than the bitmap wire's
+ * bit-expand + full-length cumsum + gather, with a smaller wire
+ * (2+1 bytes per nonzero vs dense/8 + 1 per nonzero).
+ * Caller-zeroed padding is self-neutralizing: delta 0 repeats the last
+ * emitted index with value 0.
+ * Returns nnz entries needed (may exceed vals_cap -> caller re-packs).
  */
-extern "C" int64_t bd_pack_counts_sparse(const int16_t* counts, int64_t n,
-                                         uint8_t* mask, uint8_t* vals,
-                                         int64_t vals_cap,
-                                         int32_t* corr_idx,
-                                         int32_t* corr_val,
-                                         int64_t corr_cap,
-                                         int64_t* out_ncorr) {
+extern "C" int64_t bd_pack_counts_sparse_d16(const int16_t* counts,
+                                             int64_t n,
+                                             uint16_t* deltas,
+                                             uint8_t* vals,
+                                             int64_t vals_cap,
+                                             int32_t* corr_idx,
+                                             int32_t* corr_val,
+                                             int64_t corr_cap,
+                                             int64_t* out_ncorr) {
     int64_t nnz = 0, nc = 0;
-    for (int64_t i8 = 0; i8 < n; i8 += 8) {
-        uint8_t m = 0;
-        for (int j = 0; j < 8; ++j) {
-            int16_t c = counts[i8 + j];
-            if (c == 0) continue;
-            m |= (uint8_t)(1u << j);
-            uint8_t v;
-            if ((uint16_t)c <= 255) {
-                v = (uint8_t)c;
-            } else {
-                v = 255;
-                if (nc < corr_cap) {
-                    corr_idx[nc] = (int32_t)(i8 + j);
-                    corr_val[nc] = (int32_t)c - 255;
-                }
-                ++nc;
+    int64_t prev = -1;
+    for (int64_t i = 0; i < n; ++i) {
+        int16_t c = counts[i];
+        if (c == 0) continue;
+        while (i - prev > 65535) {
+            if (nnz < vals_cap) {
+                deltas[nnz] = 65535;
+                vals[nnz] = 0;
             }
-            if (nnz < vals_cap) vals[nnz] = v;
             ++nnz;
+            prev += 65535;
         }
-        mask[i8 >> 3] = m;
+        uint8_t v;
+        if ((uint16_t)c <= 255) {
+            v = (uint8_t)c;
+        } else {
+            v = 255;
+            if (nc < corr_cap) {
+                corr_idx[nc] = (int32_t)i;
+                corr_val[nc] = (int32_t)c - 255;
+            }
+            ++nc;
+        }
+        if (nnz < vals_cap) {
+            deltas[nnz] = (uint16_t)(i - prev);
+            vals[nnz] = v;
+        }
+        ++nnz;
+        prev = i;
     }
     *out_ncorr = nc;
     return nnz;

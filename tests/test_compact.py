@@ -151,31 +151,40 @@ def test_batch_engine_matches_dense(tmp_path, ref_null_model):
 
 
 def test_pack_counts_sparse_roundtrip():
-    """Native sparse u8 pack (nonzero bitmap + flat-order values +
-    saturation corrections): exact reconstruction; over-capacity needs
-    are reported back (the caller re-packs before any launch)."""
-    from instrain_tpu.io.bam import pack_counts_sparse_into
+    """Native delta-encoded sparse pack (uint16 index deltas + u8 values
+    + saturation corrections; io/bam.py:pack_counts_sparse_d16_into):
+    decoding exactly as the device does (idx = cumsum(delta) - 1 +
+    scatter-add, kernels/sitestats.py:_densify_sparse) reconstructs the
+    tensor bit-exactly — including >65535 gaps chained through
+    zero-value entries and self-neutralizing zero padding; over-capacity
+    needs are reported back (the caller re-packs before any launch)."""
+    from instrain_tpu.io.bam import pack_counts_sparse_d16_into
     rng = np.random.default_rng(0)
-    c = rng.integers(0, 400, size=(3, 4, 64), dtype=np.int16)
-    c[rng.random(c.shape) < 0.6] = 0
-    mask = np.empty(c.size // 8, np.uint8)
-    vals = np.zeros(c.size, np.uint8)
-    ci = np.zeros(1024, np.int32)
-    cv = np.zeros(1024, np.int32)
-    nnz, nc = pack_counts_sparse_into(c, mask, vals, ci, cv)
-    assert nnz == int((c != 0).sum())
+    # giant-gap layout: sparse block, >65535-cell gap, dense block
+    c = np.zeros((2, 4, 40000), np.int16)
+    c[0, 0, 5] = 300
+    c[1, 3, 39999] = 7
+    dense_part = rng.integers(0, 400, size=(4, 2000), dtype=np.int16)
+    dense_part[rng.random(dense_part.shape) < 0.6] = 0
+    c[1, :, 1000:3000] = dense_part
+    cap = c.size
+    d16 = np.zeros(cap, np.uint16)
+    vals = np.zeros(cap, np.uint8)
+    ci = np.zeros(4096, np.int32)
+    cv = np.zeros(4096, np.int32)
+    nnz, nc = pack_counts_sparse_d16_into(c, d16, vals, ci, cv)
+    assert nnz >= int((c != 0).sum())     # gap-chaining entries add more
     assert nc == int((c > 255).sum())
-    bits = np.unpackbits(mask, bitorder="little")
-    np.testing.assert_array_equal(bits.astype(bool),
-                                  (c.reshape(-1) != 0))
+    idx = np.cumsum(d16.astype(np.int64)) - 1
     rec = np.zeros(c.size, np.int32)
-    rec[bits.astype(bool)] = vals[:nnz]
+    np.add.at(rec, np.clip(idx, 0, c.size - 1), vals)
     np.add.at(rec, ci[:nc], cv[:nc])
     np.testing.assert_array_equal(rec.reshape(c.shape), c.astype(np.int32))
     # capacity overflow -> reported need exceeds the buffer
-    small = np.zeros(max(nnz - 1, 1), np.uint8)
-    nnz2, _ = pack_counts_sparse_into(c, mask, small, ci, cv)
-    assert nnz2 == nnz and nnz2 > len(small)
+    small16 = np.zeros(max(nnz - 1, 1), np.uint16)
+    small8 = np.zeros(max(nnz - 1, 1), np.uint8)
+    nnz2, _ = pack_counts_sparse_d16_into(c, small16, small8, ci, cv)
+    assert nnz2 == nnz and nnz2 > len(small8)
 
 
 def test_sparse_path_taken_and_matches_two_phase(sars_profiled, ref_null_model):
@@ -256,7 +265,7 @@ def test_batch_sparse_wire_taken(tmp_path, ref_null_model):
 
     K.site_stats_compact_batch_sparse = spy
     try:
-        cfg = ProfileConfig(output=str(tmp_path / "b8"),
+        cfg = ProfileConfig(output=str(tmp_path / "b16"),
                             skip_plot_generation=True,
                             skip_genome_wide=True)
         cfg.engine = "batch"
@@ -264,7 +273,7 @@ def test_batch_sparse_wire_taken(tmp_path, ref_null_model):
         profile(bam, fasta, cfg)
     finally:
         K.site_stats_compact_batch_sparse = orig
-    assert calls and all(d == np.uint8 for d in calls)
+    assert calls and all(d == np.uint16 for d in calls)
 
 
 def test_batch_engine_failure_falls_back(tmp_path, ref_null_model):
@@ -350,7 +359,7 @@ def test_batch_sparse_sharded_matches_unsharded(tmp_path, ref_null_model):
             cfg.variant.null_model = ref_null_model
             calls.clear()
             outs[name] = profile(bam, fasta, cfg)
-            assert calls and all(d == np.uint8 for d in calls), \
+            assert calls and all(d == np.uint16 for d in calls), \
                 f"sparse wire not taken ({name})"
     finally:
         K.site_stats_compact_batch_sparse = orig
