@@ -113,31 +113,38 @@ def _profile_impl(bam_path: str, fasta_path: str, cfg: ProfileConfig,
         _subsample_bam(bam, cfg.filter.maximum_reads, cfg.seed)
     pairs = filter_reads(bam, cfg.filter, scaffolds=registry.names)
 
-    # store read-filtering results (reference: controller.py:260-322)
-    with _phase("store_reads"):
-        isdir.store("object_type", "profile", "value",
-                    "Type of SNVprofile (profile or compare)")
-        isdir.store("bam_loc", bam_path, "value", "Location of .bam file")
-        isdir.store("mapping_info", pairs.mapping_info, "pandas",
-                    "Report on reads")
-        isdir.store("mapping_info_values",
-                    {k: str(v) for k, v in pairs.filter_values.items()},
-                    "dictionary", "Filter values used for mapping_info")
-        isdir.store("fasta_loc", fasta_path, "value",
-                    "Location of .fasta file used during profile")
-        isdir.store("scaffold2length", registry.s2l, "dictionary",
-                    "Dictionary of scaffold 2 length")
-        if cfg.detailed_mapping_info:
-            from .filter_reads import detailed_mapping_info
-            isdir.store("detailed_mapping_info",
-                        detailed_mapping_info(pairs.info, pairs.passed,
-                                              bam.ref_names, bam.qnames),
-                        "pandas", "Details report on reads")
-        rdic = pairs.rdic(skip_mm=cfg.skip_mm_profiling)
-        isdir.store("Rdic", rdic, "pickle" if cfg.skip_mm_profiling
-                    else "dictionary",
-                    "list of filtered read pairs" if cfg.skip_mm_profiling
-                    else "Read pair -> mismatches")
+    # store read-filtering results (reference: controller.py:260-322).
+    # Under the batch engine this runs in a background thread overlapping
+    # the device-launch loop (the gzip/json serialization is ~0.7 s of
+    # pure host work, and the relay's device calls release the GIL).
+    def store_read_results():
+        with _phase("store_reads"):
+            isdir.store("object_type", "profile", "value",
+                        "Type of SNVprofile (profile or compare)")
+            isdir.store("bam_loc", bam_path, "value",
+                        "Location of .bam file")
+            isdir.store("mapping_info", pairs.mapping_info, "pandas",
+                        "Report on reads")
+            isdir.store("mapping_info_values",
+                        {k: str(v) for k, v in pairs.filter_values.items()},
+                        "dictionary", "Filter values used for mapping_info")
+            isdir.store("fasta_loc", fasta_path, "value",
+                        "Location of .fasta file used during profile")
+            isdir.store("scaffold2length", registry.s2l, "dictionary",
+                        "Dictionary of scaffold 2 length")
+            if cfg.detailed_mapping_info:
+                from .filter_reads import detailed_mapping_info
+                isdir.store("detailed_mapping_info",
+                            detailed_mapping_info(pairs.info, pairs.passed,
+                                                  bam.ref_names,
+                                                  bam.qnames),
+                            "pandas", "Details report on reads")
+            rdic = pairs.rdic(skip_mm=cfg.skip_mm_profiling)
+            isdir.store("Rdic", rdic, "pickle" if cfg.skip_mm_profiling
+                        else "dictionary",
+                        "list of filtered read pairs"
+                        if cfg.skip_mm_profiling
+                        else "Read pair -> mismatches")
 
     total_pairs = int(pairs.mapping_info["filtered_pairs"].iloc[0])
     if total_pairs == 0:
@@ -208,6 +215,22 @@ def _profile_impl(bam_path: str, fasta_path: str, cfg: ProfileConfig,
         # payloads KEEP their special views (other hosts need them over
         # the allgather); the gathered scaffolds' datasets are written
         # through the same writers after the gather below.
+        # The read-filtering stores overlap the same window in their own
+        # thread; joined before the stream writers close (the writers
+        # only touch the attribute registry at close, so the thread is
+        # the registry's sole writer until then).
+        import threading
+        reads_err: List[BaseException] = []
+
+        def _store_reads_bg():
+            try:
+                store_read_results()
+            except BaseException as e:  # noqa: BLE001 — re-raised below
+                reads_err.append(e)
+
+        rt = threading.Thread(target=_store_reads_bg,
+                              name="instrain-store-reads")
+        rt.start()
         stream = {k: isdir.open_special_stream(k, d)
                   for k, d in _SPECIAL_DESCR.items()}
         try:
@@ -216,13 +239,18 @@ def _profile_impl(bam_path: str, fasta_path: str, cfg: ProfileConfig,
                 freq_lut, gene_data, mesh=mesh, stream=stream,
                 keep_special_payload=multi_host)
         except BaseException:
+            rt.join()
             for w in stream.values():
                 w.abort()
             raise
+        rt.join()
+        if reads_err:
+            raise reads_err[0]
         if not multi_host:
             for w in stream.values():
                 w.close()
     else:
+        store_read_results()
         if engine == "batch":
             engine = "hybrid"
         cfg_engine, cfg.engine = cfg.engine, engine

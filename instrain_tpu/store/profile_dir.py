@@ -196,11 +196,14 @@ class ProfileDir:
             with h5py.File(fileloc, "w") as f:
                 for scaff, mm2series in obj.items():
                     for mm, series in mm2series.items():
-                        f.create_dataset(
-                            f"{scaff}::{mm}",
-                            data=np.array([series.values,
-                                           series.index.values]),
-                            compression=_H5_COMP)
+                        data = np.array([series.values,
+                                         series.index.values])
+                        # small datasets: contiguous beats chunk+filter
+                        # overhead (see SpecialStreamWriter.write)
+                        comp = _H5_COMP if data.size >= 8192 else None
+                        f.create_dataset(f"{scaff}::{mm}", data=data,
+                                         compression=comp,
+                                         track_times=False)
         elif name in ("scaff2pair2mm2SNPs", "scaff2pair2mm2cov"):
             with h5py.File(fileloc, "w") as f:
                 for scaff, pair2mm2 in obj.items():
@@ -318,10 +321,17 @@ class SpecialStreamWriter:
 
     def write(self, scaffold: str, mm2series: dict):
         for mm, series in mm2series.items():
+            data = np.array([series.values, series.index.values])
+            # compression implies chunked storage; for the many small
+            # per-(scaffold, mm) datasets of a fragmented assembly the
+            # chunk + filter metadata dominates the write cost, so store
+            # tiny datasets contiguous (reference readers don't care —
+            # _load_special just slices f[key], SNVprofile.py:750-789).
+            # track_times=False skips per-dataset mtime metadata.
+            comp = _H5_COMP if data.size >= 8192 else None
             self._f.create_dataset(
-                f"{scaffold}::{mm}",
-                data=np.array([series.values, series.index.values]),
-                compression=_H5_COMP)
+                f"{scaffold}::{mm}", data=data, compression=comp,
+                track_times=False)
 
     def close(self):
         if self._f is not None:
