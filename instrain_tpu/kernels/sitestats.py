@@ -340,21 +340,27 @@ def _median_bisect(vals_f32, count):
     k1 = ((c - 1) // 2 + 1).astype(jnp.int32)
     k2 = (c // 2 + 1).astype(jnp.int32)
 
-    def kth(k):
-        # smallest v with |{x <= v}| >= k, over bit space [0, +inf]
-        def body(_, lohi):
-            lo, hi = lohi
-            mid = lo + ((hi - lo) >> 1)   # (lo+hi)/2 without i32 overflow
-            cnt = (bits <= mid[:, None]).sum(axis=1).astype(jnp.int32)
-            take = cnt >= k
-            return (jnp.where(take, lo, mid + 1),
-                    jnp.where(take, mid, hi))
-        lo0 = jnp.zeros_like(k)
-        hi0 = jnp.full_like(k, 0x7F800000)                     # +inf bits
-        lo, _ = jax.lax.fori_loop(0, 31, body, (lo0, hi0))
-        return jax.lax.bitcast_convert_type(lo, jnp.float32)
+    # both order statistics search in ONE loop body: a single read of
+    # `bits` feeds both compares (XLA fuses them over the loaded tile),
+    # halving the loop's HBM traffic vs two independent searches
+    def body(_, st):
+        lo1, hi1, lo2, hi2 = st
+        m1 = lo1 + ((hi1 - lo1) >> 1)     # midpoint without i32 overflow
+        m2 = lo2 + ((hi2 - lo2) >> 1)
+        cnt1 = (bits <= m1[:, None]).sum(axis=1).astype(jnp.int32)
+        cnt2 = (bits <= m2[:, None]).sum(axis=1).astype(jnp.int32)
+        t1 = cnt1 >= k1
+        t2 = cnt2 >= k2
+        return (jnp.where(t1, lo1, m1 + 1), jnp.where(t1, m1, hi1),
+                jnp.where(t2, lo2, m2 + 1), jnp.where(t2, m2, hi2))
 
-    med = (kth(k1) + kth(k2)) / 2.0
+    lo0 = jnp.zeros_like(k1)
+    hi0 = jnp.full_like(k1, 0x7F800000)                        # +inf bits
+    lo1, _, lo2, _ = jax.lax.fori_loop(0, 31, body,
+                                       (lo0, hi0, lo0, hi0))
+    v1 = jax.lax.bitcast_convert_type(lo1, jnp.float32)
+    v2 = jax.lax.bitcast_convert_type(lo2, jnp.float32)
+    med = (v1 + v2) / 2.0
     return jnp.where(count > 0, med, jnp.nan)
 
 
