@@ -290,3 +290,27 @@ class TestCounterPRNG:
         gathered = np.asarray(_clonR_values(
             key, cdf[:, :, sel], jnp.asarray(sel), 20))
         np.testing.assert_array_equal(dense[:, sel], gathered)
+
+    def test_median_bisect_matches_numpy(self):
+        """The sort-free masked median (kernels/sitestats.py:
+        _median_bisect, a fused binary search in float32 bit space) must
+        equal np.median of the masked values exactly — including
+        even/odd counts, all-masked rows, repeated values, and zeros."""
+        from instrain_tpu.kernels.sitestats import _median_bisect
+        import jax.numpy as jnp
+        rng = np.random.default_rng(3)
+        R, L = 12, 513
+        vals = rng.choice(
+            np.array([0.0, 0.25, 0.3, 0.5, 1.0, 17.5, 40960.0],
+                     dtype=np.float32), size=(R, L))
+        mask = rng.random((R, L)) < rng.random((R, 1))
+        mask[0] = False                       # all-masked row -> NaN
+        count = mask.sum(axis=1)
+        got = np.asarray(_median_bisect(
+            jnp.where(jnp.asarray(mask), jnp.asarray(vals), jnp.inf),
+            jnp.asarray(count)))
+        for r in range(R):
+            if count[r] == 0:
+                assert np.isnan(got[r])
+            else:
+                assert got[r] == np.median(vals[r][mask[r]]), r
