@@ -27,15 +27,34 @@ except ImportError:  # psutil is expected in the image, but stay safe
     psutil = None
 
 
+_CHILD_RAM_TTL_S = 5.0
+_child_ram_cache = [0.0, 0]  # [monotonic stamp, bytes]
+
+
 def _ram() -> int:
+    """RSS of this process + children (reference: logUtils psutil usage
+    incl. children). The children walk reads /proc for EVERY process on
+    the host (~20 ms here) and worker-log lines are emitted per
+    scaffold, so the children total is cached for a few seconds — self
+    RSS (cheap) stays exact per call; child processes (samtools prep,
+    multi-host peers) change on a much slower timescale than scaffolds
+    profile."""
     if psutil is None:
         return 0
     try:
         process = psutil.Process(os.getpid())
         mem = process.memory_info().rss
-        for child in process.children(recursive=True):
-            mem += child.memory_info().rss
-        return mem
+        now = time.monotonic()
+        if now - _child_ram_cache[0] > _CHILD_RAM_TTL_S:
+            kids = 0
+            for child in process.children(recursive=True):
+                try:
+                    kids += child.memory_info().rss
+                except Exception:
+                    pass
+            _child_ram_cache[0] = now
+            _child_ram_cache[1] = kids
+        return mem + _child_ram_cache[1]
     except Exception:
         return 0
 

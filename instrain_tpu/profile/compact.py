@@ -436,33 +436,76 @@ def run_site_stats_hybrid(pileup: ScaffoldPileup, ref_codes: np.ndarray,
     return cs
 
 
-def snp_table_compact(cs: CompactStats, ref_codes: np.ndarray
-                      ) -> pd.DataFrame:
+def _snp_columns_compact(cs: CompactStats, ref_codes: np.ndarray):
+    """Numpy column dict of the raw SNP table plus the integer base
+    codes needed for the freq columns (None when the scaffold has no
+    rows)."""
     r = cs.rows
     v = r["valid"] & (r["mm_idx"] < cs.M) & (r["pos"] < cs.L)
     if not v.any():
-        return pd.DataFrame()
+        return None
     pos = r["pos"][v]
     mmi = r["mm_idx"][v]
+    A = r["A"][v].astype(np.int64)
+    C = r["C"][v].astype(np.int64)
+    T = r["T"][v].astype(np.int64)
+    G = r["G"][v].astype(np.int64)
+    con_i = r["con"][v].astype(np.int64)
+    var_i = r["var"][v].astype(np.int64)
+    ref_i = np.minimum(ref_codes[pos], 4).astype(np.int64)
     table = {
         "scaffold": cs.pileup.name,
         "position": pos.astype(np.int64),
-        "ref_base": BASES[np.minimum(ref_codes[pos], 4)],
-        "A": r["A"][v].astype(np.int64),
-        "C": r["C"][v].astype(np.int64),
-        "T": r["T"][v].astype(np.int64),
-        "G": r["G"][v].astype(np.int64),
-        "con_base": BASES[r["con"][v]],
-        "var_base": BASES[r["var"][v]],
+        "ref_base": BASES[ref_i],
+        "A": A, "C": C, "T": T, "G": G,
+        "con_base": BASES[con_i],
+        "var_base": BASES[var_i],
         "mm": cs.mm_values[mmi].astype(np.int64),
         "allele_count": r["morphia"][v].astype(np.int64),
         "class": np.array(CLASS_NAMES)[r["cls"][v]],
         "cryptic": r["cryptic"][v].astype(bool),
-        "total": None,
+        "position_coverage": r["total"][v].astype(np.int64),
     }
-    del table["total"]
-    table["position_coverage"] = r["total"][v].astype(np.int64)
-    return pd.DataFrame(table)
+    codes = dict(counts4=np.stack([A, C, T, G], axis=1),
+                 con_i=con_i, var_i=var_i, ref_i=ref_i)
+    return table, codes
+
+
+def snp_table_compact(cs: CompactStats, ref_codes: np.ndarray
+                      ) -> pd.DataFrame:
+    cols = _snp_columns_compact(cs, ref_codes)
+    if cols is None:
+        return pd.DataFrame()
+    return pd.DataFrame(cols[0])
+
+
+def snp_tables_compact(cs: CompactStats, ref_codes: np.ndarray):
+    """(raw_snp_table, cumulative_snv_table) built in ONE numpy pass.
+
+    Equivalent to snp_table_compact + tables.cumulative_snv_table
+    (asserted by tests), but the var/con/ref freq columns come straight
+    from the integer base codes — the pandas route (string .map over
+    object columns + per-column __getitem__/copy) measured ~60 ms per
+    scaffold and dominated the batch engine's host-side table time at
+    metagenome scale (reference freq semantics:
+    profile_utilities.py:598-612 _parse_Sdb)."""
+    cols = _snp_columns_compact(cs, ref_codes)
+    if cols is None:
+        return pd.DataFrame(), pd.DataFrame()
+    table, codes = cols
+    counts4 = codes["counts4"]
+    n = len(counts4)
+    rows = np.arange(n)
+    pc = table["position_coverage"].astype(np.float64)
+    var_freq = counts4[rows, codes["var_i"]] / pc
+    con_freq = counts4[rows, codes["con_i"]] / pc
+    ref_freq = np.full(n, np.nan)
+    ok = codes["ref_i"] < 4
+    ref_freq[ok] = counts4[rows[ok], codes["ref_i"][ok]] / pc[ok]
+    snp = pd.DataFrame(table)
+    csnv = pd.DataFrame({**table, "var_freq": var_freq,
+                         "con_freq": con_freq, "ref_freq": ref_freq})
+    return snp, csnv
 
 
 def coverage_table_compact(cs: CompactStats) -> pd.DataFrame:

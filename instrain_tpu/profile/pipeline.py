@@ -423,8 +423,7 @@ def _result_from_stats(name, L, stats, ref_codes, cfg, gene_data):
     dense)."""
     from . import compact as compact_mod
     if isinstance(stats, compact_mod.CompactStats):
-        snp = compact_mod.snp_table_compact(stats, ref_codes)
-        csnv = tables.cumulative_snv_table(snp)
+        snp, csnv = compact_mod.snp_tables_compact(stats, ref_codes)
         ctable = compact_mod.coverage_table_compact(stats)
     else:
         snp = tables.snp_table(stats, ref_codes)

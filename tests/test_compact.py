@@ -549,3 +549,15 @@ def test_relay_stall_watchdog(caplog, monkeypatch, ref_null_model):
               if "relay stall" in r.getMessage()]
     assert stalls, "watchdog did not warn on the faked stall"
     assert "phase 'launch'" in stalls[0].getMessage()
+
+
+def test_snp_tables_compact_fused_equivalent(both_stats):
+    """The fused (snp, csnv) builder (compact.snp_tables_compact — one
+    numpy pass, no pandas string maps) equals snp_table_compact +
+    tables.cumulative_snv_table column for column, dtype for dtype."""
+    _, cs, rc = both_stats
+    snp_a = compact.snp_table_compact(cs, rc).reset_index(drop=True)
+    csnv_a = tables.cumulative_snv_table(snp_a).reset_index(drop=True)
+    snp_b, csnv_b = compact.snp_tables_compact(cs, rc)
+    pd.testing.assert_frame_equal(snp_a, snp_b.reset_index(drop=True))
+    pd.testing.assert_frame_equal(csnv_a, csnv_b.reset_index(drop=True))
