@@ -25,7 +25,7 @@ from ..store.profile_dir import ProfileDir
 from ..store import generate as gen
 from . import linkage as linkage_mod
 from . import tables
-from .filter_reads import PairSet, filter_reads, write_mapping_info
+from .filter_reads import filter_reads
 from .pileup import ScaffoldStats, build_scaffold_pileup, \
     build_scaffold_pileup_padded, make_luts, run_site_stats
 
