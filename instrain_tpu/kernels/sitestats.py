@@ -311,6 +311,36 @@ def _ffill_scan(vals, set_mask, fill):
     return out
 
 
+def _ffill_expand(vals_list, set_mask, fills):
+    """Forward-fill each array down the mm axis (axis 0): out[m] = value
+    at the highest m' <= m where set_mask (else that array's fill).
+    Returns (filled_list, have) with have[m] = any(set_mask[:m+1]).
+
+    Unrolled Hillis-Steele doubling: ceil(log2(M)) elementwise passes
+    that XLA fuses into a handful of kernels, replacing the former
+    per-array lax.scan while-loops (four sequential M-iteration loops
+    over [S, M, L] operands were ~1 s of the 2.7 s batch launch — the
+    round-4 ablation's largest single line item). Bit-identical to
+    _ffill_scan per array (asserted in tests)."""
+    M = set_mask.shape[0]
+    outs = [jnp.where(set_mask, v, jnp.full_like(v, f))
+            for v, f in zip(vals_list, fills)]
+    have = set_mask
+    k = 1
+    while k < M:
+        prev_have = jnp.concatenate(
+            [jnp.zeros_like(have[:k]), have[:-k]], axis=0)
+        take = ~have & prev_have
+        outs = [jnp.where(take,
+                          jnp.concatenate(
+                              [jnp.full_like(o[:k], f), o[:-k]], axis=0),
+                          o)
+                for o, f in zip(outs, fills)]
+        have = have | prev_have
+        k <<= 1
+    return outs, have
+
+
 def _masked_median(sorted_vals, count):
     """Median of the first `count` entries of an ascending-sorted row
     (matching np.median: mean of the two middle values)."""
@@ -324,42 +354,58 @@ def _masked_median(sorted_vals, count):
     return jnp.where(count > 0, med, jnp.nan)
 
 
-def _median_bisect(vals_f32, count):
+_MED_WAYS = 32  # pivots-per-pass W; 7 passes resolve the 2^31 bit space
+
+
+def _median_select(vals_f32, count):
     """Exact masked median without sorting: vals [R, L] float32 with
     non-members set to +inf, count [R] = members per row.
 
-    Non-negative float32s (incl. +inf; NaN sorts above +inf either way)
-    order identically to their int32 bit patterns, so two 31-step binary
-    searches in bit space recover the two middle order statistics; the
-    result equals the jnp.sort-based _masked_median bit for bit. A full
-    [R, L] sort is ~136 bitonic passes on TPU (measured 0.65 s per
-    [64, 8, 40960] sort — the kernel's largest cost after densify);
-    this is 2x31 compare+reduce passes."""
+    PRECONDITION (round-4 advisory): values must be NON-NEGATIVE
+    (+inf padding allowed). The search runs on int32 bit patterns,
+    which order like the floats only on [0, +inf]; a negative member
+    would be silently mis-ranked. Every current caller feeds coverages
+    or clonalities (both >= 0).
+
+    W-way unrolled selection of the lower middle order statistic k1:
+    each pass compares the tile against W-1 per-row pivots and keeps
+    the sub-range containing k1, shrinking the 2^31-wide bit space to a
+    single value in 7 passes (span' <= span//W + 1). The former binary
+    bisect made 31 sequential compare+reduce passes whose per-iteration
+    while-loop overhead measured ~0.6 s of the 2.7 s batch launch; this
+    is 7 unrolled passes + 1 refine pass. The upper middle statistic k2
+    is ADJACENT to k1 (k2 = k1 or k1+1), so one fused extra pass
+    recovers it: v2 = v1 when count(<= v1) >= k2, else min(vals > v1).
+    Equals the jnp.sort-based median bit for bit (asserted in tests)."""
     bits = jax.lax.bitcast_convert_type(vals_f32, jnp.int32)   # [R, L]
-    c = jnp.maximum(count, 1)
-    k1 = ((c - 1) // 2 + 1).astype(jnp.int32)
-    k2 = (c // 2 + 1).astype(jnp.int32)
-
-    # both order statistics search in ONE loop body: a single read of
-    # `bits` feeds both compares (XLA fuses them over the loaded tile),
-    # halving the loop's HBM traffic vs two independent searches
-    def body(_, st):
-        lo1, hi1, lo2, hi2 = st
-        m1 = lo1 + ((hi1 - lo1) >> 1)     # midpoint without i32 overflow
-        m2 = lo2 + ((hi2 - lo2) >> 1)
-        cnt1 = (bits <= m1[:, None]).sum(axis=1).astype(jnp.int32)
-        cnt2 = (bits <= m2[:, None]).sum(axis=1).astype(jnp.int32)
-        t1 = cnt1 >= k1
-        t2 = cnt2 >= k2
-        return (jnp.where(t1, lo1, m1 + 1), jnp.where(t1, m1, hi1),
-                jnp.where(t2, lo2, m2 + 1), jnp.where(t2, m2, hi2))
-
-    lo0 = jnp.zeros_like(k1)
-    hi0 = jnp.full_like(k1, 0x7F800000)                        # +inf bits
-    lo1, _, lo2, _ = jax.lax.fori_loop(0, 31, body,
-                                       (lo0, hi0, lo0, hi0))
-    v1 = jax.lax.bitcast_convert_type(lo1, jnp.float32)
-    v2 = jax.lax.bitcast_convert_type(lo2, jnp.float32)
+    c = jnp.maximum(count, 1).astype(jnp.int32)
+    k1 = (c - 1) // 2 + 1
+    k2 = c // 2 + 1
+    W = _MED_WAYS
+    j64 = jnp.arange(1, W, dtype=jnp.int64)[None, :]           # [1, W-1]
+    lo = jnp.zeros_like(k1)
+    hi = jnp.full_like(k1, 0x7F800000)   # exclusive; members are finite
+    for _ in range(7):
+        span = (hi - lo).astype(jnp.int64)[:, None]            # [R, 1]
+        piv = (lo[:, None].astype(jnp.int64) +
+               span * j64 // W).astype(jnp.int32)              # [R, W-1]
+        # cnt[r, w] = #(bits[r, :] <= piv[r, w]); reduce over the minor
+        # axis so XLA fuses the broadcast compare into the reduction
+        cnt = (bits[:, None, :] <= piv[:, :, None]).sum(
+            axis=2).astype(jnp.int32)
+        seg = (cnt < k1[:, None]).sum(axis=1).astype(jnp.int32)  # [R]
+        edges_lo = jnp.concatenate([lo[:, None], piv + 1], axis=1)
+        edges_hi = jnp.concatenate([piv + 1, hi[:, None]], axis=1)
+        lo = jnp.take_along_axis(edges_lo, seg[:, None], axis=1)[:, 0]
+        hi = jnp.take_along_axis(edges_hi, seg[:, None], axis=1)[:, 0]
+    v1b = lo
+    # adjacent-stat refine: one more tile pass for the upper middle stat
+    le1 = bits <= v1b[:, None]
+    cnt1 = le1.sum(axis=1).astype(jnp.int32)
+    above_min = jnp.where(le1, jnp.int32(0x7F800000), bits).min(axis=1)
+    v2b = jnp.where(cnt1 >= k2, v1b, above_min)
+    v1 = jax.lax.bitcast_convert_type(v1b, jnp.float32)
+    v2 = jax.lax.bitcast_convert_type(v2b, jnp.float32)
     med = (v1 + v2) / 2.0
     return jnp.where(count > 0, med, jnp.nan)
 
@@ -504,48 +550,43 @@ def _compact_from_full(full, counts, snp_capacity, pos_capacity, true_len,
     cov_sum = toti.sum(axis=1)
     cov_sumsq = (toti * toti).sum(axis=1)
     nonzeros = ((total > 0) & pos_ok).sum(axis=1)
-    cov_median = _median_bisect(
+    cov_median = _median_select(
         jnp.where(pos_ok, total.astype(jnp.float32), jnp.inf),
         jnp.broadcast_to(jnp.int32(1) * Lt, (M,)))
 
     clon_set = ~jnp.isnan(clon) & pos_ok
-    clon_f = _ffill_scan(jnp.where(clon_set, clon, 0.0), clon_set, jnp.nan)
-    has_clon = jnp.cumsum(clon_set, axis=0) > 0
+    (clon_f,), has_clon = _ffill_expand([clon], clon_set, [jnp.nan])
     counted = has_clon.sum(axis=1)
     clon_sum = jnp.where(has_clon, clon_f, 0.0).astype(
         jnp.float64).sum(axis=1)
-    clon_median = _median_bisect(
+    clon_median = _median_select(
         jnp.where(has_clon, clon_f, jnp.inf), counted)
 
     if clonR_gathered is None:
         clonR_set = ~jnp.isnan(clonR) & pos_ok
-        clonR_f = _ffill_scan(jnp.where(clonR_set, clonR, 0.0), clonR_set,
-                              jnp.nan)
-        hasR = jnp.cumsum(clonR_set, axis=0) > 0
-        rarefied = hasR.sum(axis=1)
-        clonR_sum = jnp.where(hasR, clonR_f, 0.0).astype(
-            jnp.float64).sum(axis=1)
-        clonR_median = _median_bisect(
-            jnp.where(hasR, clonR_f, jnp.inf), rarefied)
+        (clonR_f,), hasR = _ffill_expand([clonR], clonR_set, [jnp.nan])
     else:
         # clonR exists only at the gathered qualifying positions; the
         # per-column ffill/sum/median over those columns equals the
         # dense computation restricted to them (non-qualifying columns
         # never contribute: hasR is false everywhere on them)
         set_g = clonR_gathered["set"]                      # [M, cap]
-        vals_g = clonR_gathered["vals"]
-        clonR_f = _ffill_scan(jnp.where(set_g, vals_g, 0.0), set_g,
-                              jnp.nan)
-        hasR = jnp.cumsum(set_g, axis=0) > 0
-        rarefied = hasR.sum(axis=1)
-        clonR_sum = jnp.where(hasR, clonR_f, 0.0).astype(
-            jnp.float64).sum(axis=1)
-        clonR_median = _median_bisect(
-            jnp.where(hasR, clonR_f, jnp.inf), rarefied)
+        (clonR_f,), hasR = _ffill_expand([clonR_gathered["vals"]],
+                                         set_g, [jnp.nan])
+    rarefied = hasR.sum(axis=1)
+    clonR_sum = jnp.where(hasR, clonR_f, 0.0).astype(
+        jnp.float64).sum(axis=1)
+    clonR_median = _median_select(
+        jnp.where(hasR, clonR_f, jnp.inf), rarefied)
 
-    mor_f = _ffill_scan(full["morphia"].astype(jnp.int32), row, -1)
-    cls_f = _ffill_scan(full["cls"].astype(jnp.int32), row, -1)
-    have_row = (jnp.cumsum(row, axis=0) > 0) & pos_ok
+    # morphia and class share the `row` mask: forward-fill ONE packed
+    # int (morphia<<3 | cls) and decode, halving that pass's traffic
+    enc = ((full["morphia"].astype(jnp.int32) << 3) |
+           full["cls"].astype(jnp.int32))
+    (enc_f,), have_any = _ffill_expand([enc], row, [-1])
+    have_row = have_any & pos_ok
+    mor_f = enc_f >> 3
+    cls_f = enc_f & 7
     div_sites = have_row.sum(axis=1)
     sns = (have_row & (mor_f == 1)).sum(axis=1)
     snv = (have_row & (mor_f > 1)).sum(axis=1)

@@ -616,8 +616,14 @@ def _symmetric_matrix(gdb: pd.DataFrame, col: str) -> pd.DataFrame:
     for n1, n2, v in zip(gdb["name1"], gdb["name2"], gdb[col]):
         m.loc[n1, n2] = v
     arr = m.values
+    # explicit empty guard: cells missing in BOTH directions stay NaN
+    # without nanmean's `Mean of empty slice` RuntimeWarning
+    both = np.stack([arr, arr.T])
+    have = (~np.isnan(both)).sum(axis=0)
     with np.errstate(invalid="ignore"):
-        sym = np.nanmean(np.stack([arr, arr.T]), axis=0)
+        sym = np.where(have > 0,
+                       np.nansum(both, axis=0) / np.maximum(have, 1),
+                       np.nan)
     np.fill_diagonal(sym, 1.0)
     return pd.DataFrame(sym, index=samples, columns=samples)
 

@@ -388,7 +388,28 @@ class HybridStats(CompactStats):
     """CompactStats plus the dense arrays needed for storage and gene
     profiling (total / clon / clonR), exposed with the ScaffoldStats
     attribute names so tables.covT/clonT views and profile/genes work
-    unchanged."""
+    unchanged.
+
+    `dense` may be provided LAZILY (set `_dense_fn` to a thunk): the
+    batch engine's finish step runs on the device-loop thread, where
+    host-side clon/total reconstruction (~native pass over the count
+    tensor per scaffold) would serialize with the next launch; deferring
+    it to first access moves that work to the consumer thread, which
+    overlaps device launches (the relay releases the GIL)."""
+
+    _dense = None
+    _dense_fn = None
+
+    @property
+    def dense(self):
+        if self._dense is None and self._dense_fn is not None:
+            self._dense = self._dense_fn()
+            self._dense_fn = None
+        return self._dense
+
+    @dense.setter
+    def dense(self, value):
+        self._dense = value
 
     @property
     def total(self):
@@ -684,7 +705,8 @@ def _dispatch_batch_chunk(part, Mp, Lp, use_sparse, null_lut, freq_lut,
         _t_add("compute", time.perf_counter() - t0)
         if watch is not None:
             watch.launch_done(time.perf_counter() - t0)
-        rec.update(kind="sparse", res=res, skey=skey, caps=caps)
+        rec.update(kind="sparse", res=res, skey=skey, caps=caps,
+                   rpos_cap=rpos_cap)
     else:
         from ..kernels.sitestats import site_stats_compact_batch
         counts = np.zeros((Sp0, Mp, 4, Lp), np.int32)
@@ -770,13 +792,18 @@ def _finish_batch_chunk(rec, results, min_cov, with_dense, emit=None,
             cs.linkage["cum"] = cs.linkage["cum"].astype(np.int32)
         if with_dense:
             if wire_sp:
-                from ..io.bam import clon_cum16
-                c16 = pu.counts if pu.counts.dtype == np.int16 \
-                    else pu.counts.astype(np.int16)
-                total, clon = clon_cum16(c16, M, min_cov)
-                cs.dense = {
-                    "total": total, "clon": clon,
-                    "clonR": _clonR_from_sparse(clonR_sp, k, Mp, Lp)}
+                def make_dense(pu=pu, M=M, k=k):
+                    # deferred to first access: this native reconstruction
+                    # runs on the CONSUMER thread (overlapping launches),
+                    # not here on the device-loop thread (see HybridStats)
+                    from ..io.bam import clon_cum16
+                    c16 = pu.counts if pu.counts.dtype == np.int16 \
+                        else pu.counts.astype(np.int16)
+                    total, clon = clon_cum16(c16, M, min_cov)
+                    return {"total": total, "clon": clon,
+                            "clonR": _clonR_from_sparse(clonR_sp, k,
+                                                        Mp, Lp)}
+                cs._dense_fn = make_dense
             else:
                 cs.dense = {kk: np.asarray(v[k])
                             for kk, v in dense.items()}
@@ -785,7 +812,7 @@ def _finish_batch_chunk(rec, results, min_cov, with_dense, emit=None,
         # gathered-rarefied capacity overflow (incomplete clonR
         # aggregates) applies in every sparse mode
         n_rar = int(cs.linkage.pop("n_rar", 0)) if wire_sp else 0
-        rpos_cap = rec["skey"][6] if wire_sp else 0  # launch's actual cap
+        rpos_cap = rec["rpos_cap"] if wire_sp else 0  # launch's actual cap
         if (n_rows > len(cs.rows["pos"]) or
                 n_pos > len(cs.linkage["pos"]) or
                 (wire_sp and n_rar > rpos_cap) or
@@ -810,7 +837,7 @@ def run_site_stats_compact_batch(pileups, ref_codes_list, null_lut,
                                  rarefied_coverage: int = 50,
                                  seed: int = 42, with_dense: bool = False,
                                  max_chunk_bytes: int = 32 << 20,
-                                 mesh=None, pipeline_depth: int = 3,
+                                 mesh=None, pipeline_depth: int = 1,
                                  watch=None,
                                  emit=None):
     """

@@ -148,6 +148,10 @@ def _profile_impl(bam_path: str, fasta_path: str, cfg: ProfileConfig,
 
     total_pairs = int(pairs.mapping_info["filtered_pairs"].iloc[0])
     if total_pairs == 0:
+        # persist the mapping report before aborting so a zero-pair run
+        # can still be debugged from the profile dir (reference keeps it:
+        # controller.py:260-322 stores before the 314-317 abort)
+        store_read_results()
         raise RuntimeError(
             "No paired reads remain after filtering; consider "
             "--pairing_filter or --use_full_fasta_header")

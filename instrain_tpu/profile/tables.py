@@ -88,6 +88,19 @@ def _ffill_along_mm(arr: np.ndarray, set_mask: np.ndarray):
     return filled, has, idx
 
 
+def _masked_row_mean_median(vals: np.ndarray, has: np.ndarray,
+                            n: np.ndarray):
+    """Row-wise nanmean/nanmedian of `vals` restricted to `has`, with an
+    explicit empty-row guard: rows with n == 0 get NaN WITHOUT np
+    emitting `Mean of empty slice` / `All-NaN slice` RuntimeWarnings
+    (empty rows feed 0.0 into the reductions instead of all-NaN)."""
+    masked = np.where(has, vals, np.nan)
+    safe = np.where(n[:, None] > 0, masked, 0.0)
+    mean = np.where(n > 0, np.nanmean(safe, axis=1), np.nan)
+    med = np.where(n > 0, np.nanmedian(safe, axis=1), np.nan)
+    return mean, med
+
+
 def coverage_table(stats: ScaffoldStats, snp_df: Optional[pd.DataFrame] = None
                    ) -> pd.DataFrame:
     """
@@ -128,20 +141,12 @@ def coverage_table(stats: ScaffoldStats, snp_df: Optional[pd.DataFrame] = None
         out["coverage_SEM"] = total.std(axis=1, ddof=1) / np.sqrt(L)
 
     counted = clon_has.sum(axis=1)
-    with np.errstate(invalid="ignore"):
-        mean_c = np.where(counted > 0, np.nanmean(
-            np.where(clon_has, clon_f, np.nan), axis=1), np.nan)
-        med_c = np.nanmedian(
-            np.where(clon_has, clon_f, np.nan), axis=1)
+    mean_c, med_c = _masked_row_mean_median(clon_f, clon_has, counted)
     out["nucl_diversity"] = 1 - mean_c
     out["nucl_diversity_median"] = np.where(counted > 0, 1 - med_c, np.nan)
 
     rarefied = clonR_has.sum(axis=1)
-    with np.errstate(invalid="ignore"):
-        mean_r = np.where(rarefied > 0, np.nanmean(
-            np.where(clonR_has, clonR_f, np.nan), axis=1), np.nan)
-        med_r = np.nanmedian(
-            np.where(clonR_has, clonR_f, np.nan), axis=1)
+    mean_r, med_r = _masked_row_mean_median(clonR_f, clonR_has, rarefied)
     out["nucl_diversity_rarefied"] = 1 - mean_r
     out["nucl_diversity_rarefied_median"] = np.where(
         rarefied > 0, 1 - med_r, np.nan)

@@ -47,13 +47,23 @@ class ProfileDir:
     first_levels = ["output", "raw_data", "log", "figures"]
 
     def __init__(self, location: str):
+        import threading
         self.location = os.path.abspath(location)
+        # attributes.tsv is a read-modify-write registry; store()/
+        # _register() may be called from a background thread (the batch
+        # engine overlaps read-result stores with the device loop), so
+        # every mutation holds this per-instance lock
+        self._attr_lock = threading.RLock()
         self._make_structure()
         self._init_attributes()
 
     # ---------- public API ----------
 
     def store(self, name: str, value, typ: str, description: str):
+        with self._attr_lock:
+            return self._store_locked(name, value, typ, description)
+
+    def _store_locked(self, name: str, value, typ: str, description: str):
         adb = self._get_attributes()
         if typ == "value":
             stored = value
@@ -84,15 +94,16 @@ class ProfileDir:
         self._register(name, stored, typ, description, adb)
 
     def _register(self, name, stored, typ, description, adb=None):
-        if adb is None:
-            adb = self._get_attributes()
-        row = pd.DataFrame({"value": [stored], "type": [typ],
-                            "description": [description]}, index=[name])
-        if name in adb.index:
-            adb.at[name, "value"] = stored
-        else:
-            adb = pd.concat([adb, row])
-        self._store_attributes(adb)
+        with self._attr_lock:
+            if adb is None:
+                adb = self._get_attributes()
+            row = pd.DataFrame({"value": [stored], "type": [typ],
+                                "description": [description]}, index=[name])
+            if name in adb.index:
+                adb.at[name, "value"] = stored
+            else:
+                adb = pd.concat([adb, row])
+            self._store_attributes(adb)
 
     def open_special_stream(self, name: str, description: str
                             ) -> "SpecialStreamWriter":

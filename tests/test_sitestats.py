@@ -291,12 +291,13 @@ class TestCounterPRNG:
             key, cdf[:, :, sel], jnp.asarray(sel), 20))
         np.testing.assert_array_equal(dense[:, sel], gathered)
 
-    def test_median_bisect_matches_numpy(self):
+    def test_median_select_matches_numpy(self):
         """The sort-free masked median (kernels/sitestats.py:
-        _median_bisect, a fused binary search in float32 bit space) must
+        _median_select, a W-way selection in float32 bit space) must
         equal np.median of the masked values exactly — including
-        even/odd counts, all-masked rows, repeated values, and zeros."""
-        from instrain_tpu.kernels.sitestats import _median_bisect
+        even/odd counts, all-masked rows, repeated values, zeros, and
+        single-member rows."""
+        from instrain_tpu.kernels.sitestats import _median_select
         import jax.numpy as jnp
         rng = np.random.default_rng(3)
         R, L = 12, 513
@@ -305,8 +306,10 @@ class TestCounterPRNG:
                      dtype=np.float32), size=(R, L))
         mask = rng.random((R, L)) < rng.random((R, 1))
         mask[0] = False                       # all-masked row -> NaN
+        mask[1] = False
+        mask[1, 7] = True                     # single-member row
         count = mask.sum(axis=1)
-        got = np.asarray(_median_bisect(
+        got = np.asarray(_median_select(
             jnp.where(jnp.asarray(mask), jnp.asarray(vals), jnp.inf),
             jnp.asarray(count)))
         for r in range(R):
@@ -314,3 +317,49 @@ class TestCounterPRNG:
                 assert np.isnan(got[r])
             else:
                 assert got[r] == np.median(vals[r][mask[r]]), r
+
+    def test_median_select_large_random(self):
+        """Continuous random values (no ties) and extreme magnitudes:
+        the 7-pass W-way bit-space narrowing must land on the exact
+        order statistics for arbitrary non-negative float32s."""
+        from instrain_tpu.kernels.sitestats import _median_select
+        import jax.numpy as jnp
+        rng = np.random.default_rng(11)
+        R, L = 6, 2048
+        vals = (rng.random((R, L)).astype(np.float32) *
+                np.float32(10.0) **
+                rng.integers(-30, 30, (R, 1)).astype(np.float32))
+        mask = rng.random((R, L)) < 0.7
+        count = mask.sum(axis=1)
+        got = np.asarray(_median_select(
+            jnp.where(jnp.asarray(mask), jnp.asarray(vals), jnp.inf),
+            jnp.asarray(count)))
+        want = [np.median(vals[r][mask[r]]) for r in range(R)]
+        np.testing.assert_array_equal(got, np.array(want, np.float32))
+
+    def test_ffill_expand_matches_scan(self):
+        """The unrolled doubling forward-fill must be bit-identical to
+        the sequential scan it replaced, for float/NaN and int/-1
+        fills, and its `have` output must equal cumsum(set) > 0."""
+        from instrain_tpu.kernels.sitestats import (_ffill_expand,
+                                                    _ffill_scan)
+        import jax.numpy as jnp
+        rng = np.random.default_rng(5)
+        for M in (1, 2, 3, 8, 13):
+            L = 257
+            set_mask = jnp.asarray(rng.random((M, L)) < 0.3)
+            fvals = jnp.asarray(rng.random((M, L)).astype(np.float32))
+            ivals = jnp.asarray(rng.integers(0, 50, (M, L)).astype(
+                np.int32))
+            (f_new, i_new), have = _ffill_expand(
+                [fvals, ivals], set_mask, [jnp.nan, -1])
+            f_old = _ffill_scan(jnp.where(set_mask, fvals, 0.0),
+                                set_mask, jnp.nan)
+            i_old = _ffill_scan(ivals, set_mask, -1)
+            np.testing.assert_array_equal(np.asarray(f_new),
+                                          np.asarray(f_old))
+            np.testing.assert_array_equal(np.asarray(i_new),
+                                          np.asarray(i_old))
+            np.testing.assert_array_equal(
+                np.asarray(have),
+                np.cumsum(np.asarray(set_mask), axis=0) > 0)
