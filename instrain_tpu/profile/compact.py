@@ -832,6 +832,124 @@ def _finish_batch_chunk(rec, results, min_cov, with_dense, emit=None,
             emit(i, results[i])
 
 
+def _bucket_of(pu):
+    if pu.true_M is not None:
+        Mp, _, Lp = pu.counts.shape
+    else:
+        M, _, L = pu.counts.shape
+        Mp, Lp = max(_bucket(M, 8), 8), max(_bucket(L, 4096), 4096)
+    return Mp, Lp
+
+
+def _chunk_base(Mp: int, Lp: int, is16: bool, with_dense: bool,
+                max_chunk_bytes: int) -> int:
+    """Power-of-two scaffolds-per-launch for a bucket.
+
+    Wire bytes per scaffold: the sparse path moves delta-encoded nonzero
+    entries (the bucket's "vals" high-water mark) + ref codes in, and
+    only the compact outputs + sparse clonR out; the int32 fallback
+    sends full-width dense counts and fetches dense outputs. Launches
+    are ~100 ms relay round-trips, so undersized chunks cost more than
+    oversized; the second bound caps the launch's DENSE device working
+    set (the kernel densifies to [S, Mp, 4, Lp] int32 + comparable
+    intermediates)."""
+    if is16:
+        per_scaffold = (3 * _bucket_caps((Mp, 4, Lp))["vals"] + Lp)
+    else:
+        per_scaffold = (Mp * Lp * (12 if with_dense else 4) +
+                        4 * Mp * 4 * Lp)
+    cap = max(1, min(max_chunk_bytes // per_scaffold,
+                     (1 << 27) // (Mp * 4 * Lp)))
+    return 1 << (cap.bit_length() - 1)
+
+
+def run_site_stats_compact_stream(items_iter, null_lut, freq_lut,
+                                  min_cov: int = 5,
+                                  rarefied_coverage: int = 50,
+                                  seed: int = 42,
+                                  with_dense: bool = False,
+                                  max_chunk_bytes: int = 32 << 20,
+                                  mesh=None, pipeline_depth: int = 1,
+                                  watch=None, emit=None,
+                                  results: Optional[Dict] = None):
+    """
+    STREAMING batch core: consume (index, pileup, ref_codes) items as
+    they become available and dispatch one vmapped kernel launch per
+    full power-of-two chunk of same-(Mp, Lp)-bucket scaffolds — the
+    first launch goes out as soon as the first chunk fills, while the
+    producer is still building later pileups (the reference's analogue
+    streams split workers into merge workers,
+    profile_controller.py:157-193).
+
+    Chunking matches the former list-based planner exactly: launches
+    come in pow2 sizes <= the bucket's base (remainders padded UP to
+    the next pow2) so compiled kernel shapes form a tiny reusable set
+    with minimal dead-slot padding. On this environment's stdio relay
+    every device call is SYNCHRONOUS (dispatch blocks until the kernel
+    completes) but releases the GIL, so with pipeline_depth=1 each
+    chunk's results are finished (and emitted to the consumer thread)
+    before the next launch blocks — host table building overlaps device
+    compute. `results` (dict or list) receives index -> stats.
+    """
+    from collections import deque
+
+    if results is None:
+        results = {}
+    depth = 1 if TIMINGS is not None else max(1, int(pipeline_depth))
+    pending = deque()
+    open_items: Dict = {}
+    base_of: Dict = {}
+
+    def dispatch(part, Mp, Lp, pad_to):
+        # the sparse wire needs int16 counts (native padded-builder
+        # pileups pack zero-copy; ragged int16 via per-scaffold temps)
+        use_sparse = (all(pu.counts.dtype == np.int16
+                          for _, pu, _ in part) and
+                      pad_to * Mp * 4 * Lp < (1 << 31))
+        pending.append(_dispatch_batch_chunk(
+            part, Mp, Lp, use_sparse, null_lut, freq_lut, min_cov,
+            rarefied_coverage, seed, with_dense, mesh, pad_to=pad_to,
+            watch=watch))
+        while len(pending) > depth:
+            _finish_batch_chunk(pending.popleft(), results, min_cov,
+                                with_dense, emit=emit, watch=watch)
+
+    for item in items_iter:
+        i, pu, rc = item
+        key = _bucket_of(pu)
+        lst = open_items.setdefault(key, [])
+        lst.append((i, pu, rc))
+        if key not in base_of:
+            base_of[key] = _chunk_base(
+                key[0], key[1], pu.counts.dtype == np.int16, with_dense,
+                max_chunk_bytes)
+        if len(lst) >= base_of[key]:
+            open_items[key] = []
+            dispatch(lst, key[0], key[1], pad_to=len(lst))
+
+    # leftovers: same pow2 decomposition as the planner (mid chunks of
+    # descending pow2 sizes, final tail padded up to the next pow2)
+    for (Mp, Lp), items in open_items.items():
+        c0, n = 0, len(items)
+        while c0 < n:
+            take = base_of[(Mp, Lp)]
+            while take > n - c0:
+                take >>= 1
+            if take < n - c0:
+                part = items[c0:c0 + take]
+                pad_to = take
+            else:
+                part = items[c0:]
+                pad_to = 1 << max(0, (len(part) - 1)).bit_length()
+            c0 += len(part)
+            dispatch(part, Mp, Lp, pad_to=pad_to)
+
+    while pending:
+        _finish_batch_chunk(pending.popleft(), results, min_cov,
+                            with_dense, emit=emit, watch=watch)
+    return results
+
+
 def run_site_stats_compact_batch(pileups, ref_codes_list, null_lut,
                                  freq_lut, min_cov: int = 5,
                                  rarefied_coverage: int = 50,
@@ -841,20 +959,9 @@ def run_site_stats_compact_batch(pileups, ref_codes_list, null_lut,
                                  watch=None,
                                  emit=None):
     """
-    Batch same-bucket scaffolds through one kernel launch, with the
-    launches dispatched up to `pipeline_depth` ahead.
-
-    Groups pileups by padded (M, L) bucket, stacks each bucket into
-    [S, Mp, 4, Lp] and vmaps the compact kernel — one device round-trip
-    per bucket chunk instead of per scaffold. On an async backend the
-    dispatch-ahead overlaps chunk i+1's h2d with chunk i's compute; on
-    this environment's stdio relay every device call is SYNCHRONOUS
-    (measured: dispatch blocks until the kernel completes), so the real
-    overlap comes from iter_site_stats_compact_batch, which runs this
-    loop in a background thread — the relay calls release the GIL, so
-    the caller's host-side table building proceeds in parallel
-    (measured ~1.75 s of host work during a 2.1 s device loop with no
-    slowdown of either).
+    Batch same-bucket scaffolds through one kernel launch each (see
+    run_site_stats_compact_stream — this is the list-in/list-out
+    wrapper over the streaming core).
 
     With `with_dense` the dense total/clon arrays are reconstructed
     natively on host from the counts we already hold and only the sparse
@@ -869,85 +976,20 @@ def run_site_stats_compact_batch(pileups, ref_codes_list, null_lut,
 
     Returns list of CompactStats/HybridStats in input order.
     """
-    from collections import deque
-
-    buckets: Dict = {}
-    for i, (pu, rc) in enumerate(zip(pileups, ref_codes_list)):
-        if pu.true_M is not None:
-            Mp, _, Lp = pu.counts.shape
-        else:
-            M, _, L = pu.counts.shape
-            Mp, Lp = max(_bucket(M, 8), 8), max(_bucket(L, 4096), 4096)
-        buckets.setdefault((Mp, Lp), []).append((i, pu, rc))
-
     results = [None] * len(pileups)
-    chunks = []
-    for (Mp, Lp), items in buckets.items():
-        # wire bytes per scaffold: the sparse path moves a nonzero bitmap
-        # (dense/8) + the nonzero values (the bucket's "vals" high-water
-        # mark) + ref codes in, and only the compact outputs + sparse
-        # clonR out; the int32 fallback sends full-width dense counts and
-        # fetches dense outputs. Launches are ~100 ms relay round-trips,
-        # so undersized chunks cost more than oversized.
-        bucket16 = all(pu.counts.dtype == np.int16 for _, pu, _ in items)
-        if bucket16:
-            per_scaffold = (3 * _bucket_caps((Mp, 4, Lp))["vals"] + Lp)
-        else:
-            per_scaffold = (Mp * Lp * (12 if with_dense else 4) +
-                            4 * Mp * 4 * Lp)
-        # the sparse wire fits ~6x more scaffolds per launch, so also
-        # bound the launch's DENSE device working set (the kernel
-        # densifies to [S, Mp, 4, Lp] int32 + comparable intermediates)
-        cap = max(1, min(max_chunk_bytes // per_scaffold,
-                         (1 << 27) // (Mp * 4 * Lp)))
-        # power-of-two chunk decomposition: launches come in pow2 sizes
-        # <= cap (the remainder padded UP to the next pow2), so compiled
-        # kernel shapes form a tiny reusable set AND no launch carries
-        # the near-100% dead-slot padding a fixed chunk size inflicted
-        # on tails (128 scaffolds at cap 94 used to run as 2 x 94 slots
-        # — 47% wasted device compute; now 2 x 64 with zero waste)
-        base = 1 << (cap.bit_length() - 1)
-        c0 = 0
-        n = len(items)
-        while c0 < n:
-            take = base
-            while take > n - c0:
-                take >>= 1
-            if take < n - c0:        # mid-run: full pow2 chunk
-                part = items[c0:c0 + take]
-                pad_to = take
-            else:                    # tail: pad up to the next pow2
-                part = items[c0:]
-                pad_to = 1 << max(0, (len(part) - 1)).bit_length()
-            c0 += len(part)
-            # the sparse wire needs int16 counts (native padded-builder
-            # pileups pack zero-copy; ragged int16 via per-scaffold
-            # temps)
-            use_sparse = (all(pu.counts.dtype == np.int16
-                          for _, pu, _ in part) and
-                      pad_to * Mp * 4 * Lp < (1 << 31))
-            chunks.append((part, Mp, Lp, use_sparse, pad_to))
-
-    # benchmark instrumentation synchronizes every phase, so keep the
-    # launches serial there; production overlaps up to pipeline_depth
-    depth = 1 if TIMINGS is not None else max(1, int(pipeline_depth))
-    pending = deque()
-    for part, Mp, Lp, use_sparse, pad_to in chunks:
-        pending.append(_dispatch_batch_chunk(
-            part, Mp, Lp, use_sparse, null_lut, freq_lut, min_cov,
-            rarefied_coverage, seed, with_dense, mesh, pad_to=pad_to,
-            watch=watch))
-        while len(pending) > depth:
-            _finish_batch_chunk(pending.popleft(), results, min_cov,
-                                with_dense, emit=emit, watch=watch)
-    while pending:
-        _finish_batch_chunk(pending.popleft(), results, min_cov,
-                            with_dense, emit=emit, watch=watch)
+    run_site_stats_compact_stream(
+        ((i, pu, rc) for i, (pu, rc)
+         in enumerate(zip(pileups, ref_codes_list))),
+        null_lut, freq_lut, min_cov=min_cov,
+        rarefied_coverage=rarefied_coverage, seed=seed,
+        with_dense=with_dense, max_chunk_bytes=max_chunk_bytes,
+        mesh=mesh, pipeline_depth=pipeline_depth, watch=watch,
+        emit=emit, results=results)
     return results
 
 
 def iter_site_stats_compact_batch(pileups, ref_codes_list, null_lut,
-                                  freq_lut, **kwargs):
+                                  freq_lut, in_queue=None, **kwargs):
     """Streaming batch runner: yields (index, stats_or_None) as each
     launch's results land, with the device loop in a BACKGROUND THREAD.
 
@@ -958,7 +1000,14 @@ def iter_site_stats_compact_batch(pileups, ref_codes_list, null_lut,
     re-raised here after all landed results have been yielded — callers
     treat un-yielded scaffolds as engine-failed and retry per-scaffold
     (the reference never dies on one bad unit,
-    profile_utilities.py:92-112)."""
+    profile_utilities.py:92-112).
+
+    With `in_queue` (a Queue of (index, pileup, ref_codes) items, None
+    as end-of-input sentinel), `pileups`/`ref_codes_list` are ignored
+    and the device thread consumes items AS THE PRODUCER ENQUEUES THEM —
+    the first launch dispatches once the first shape-bucket chunk fills,
+    overlapping the producer's remaining pileup builds with device
+    compute (the streaming host-stage/device-loop overlap)."""
     import logging
     import queue as queue_mod
     import threading
@@ -968,15 +1017,29 @@ def iter_site_stats_compact_batch(pileups, ref_codes_list, null_lut,
     watch = LaunchWatch()
     stop = threading.Event()
 
+    def drain_in_queue():
+        while True:
+            item = in_queue.get()
+            if item is None:
+                return
+            yield item
+
     def work():
         try:
-            # call through the module attribute so test monkeypatching of
-            # run_site_stats_compact_batch intercepts this path too
+            # call through the module attributes so test monkeypatching
+            # intercepts these paths too
             import sys
             mod = sys.modules[__name__]
-            mod.run_site_stats_compact_batch(
-                pileups, ref_codes_list, null_lut, freq_lut,
-                emit=lambda i, s: q.put((i, s)), watch=watch, **kwargs)
+            if in_queue is not None:
+                mod.run_site_stats_compact_stream(
+                    drain_in_queue(), null_lut, freq_lut,
+                    emit=lambda i, s: q.put((i, s)), watch=watch,
+                    **kwargs)
+            else:
+                mod.run_site_stats_compact_batch(
+                    pileups, ref_codes_list, null_lut, freq_lut,
+                    emit=lambda i, s: q.put((i, s)), watch=watch,
+                    **kwargs)
         except BaseException as e:  # noqa: BLE001 — re-raised in consumer
             err.append(e)
         finally:
@@ -1011,16 +1074,24 @@ def iter_site_stats_compact_batch(pileups, ref_codes_list, null_lut,
                          name="instrain-batch-device")
     m = threading.Thread(target=monitor, daemon=True,
                          name="instrain-batch-watchdog")
+    # threads start EAGERLY (this is a plain function returning a
+    # generator, not a generator function): with in_queue streaming, the
+    # device thread must be consuming while the caller is still
+    # producing pileups, before any result is pulled
     t.start()
     m.start()
-    try:
-        while True:
-            item = q.get()
-            if item is None:
-                break
-            yield item
-        t.join()
-    finally:
-        stop.set()
-    if err:
-        raise err[0]
+
+    def results():
+        try:
+            while True:
+                item = q.get()
+                if item is None:
+                    break
+                yield item
+            t.join()
+        finally:
+            stop.set()
+        if err:
+            raise err[0]
+
+    return results()

@@ -476,42 +476,58 @@ def _profile_scaffolds_batched(bam, pairs, registry, keep, cfg, null_lut,
     With `stream` ({attr -> SpecialStreamWriter}), each scaffold's
     covT/clonT/clonTR views are written to their hd5 files here — inside
     the device-loop overlap window — and dropped from the payload."""
+    import queue as queue_mod
+
     from ..obs.logging import get_worker_log, log_failure
     from . import compact as compact_mod
 
     from tqdm import tqdm
-    pileups, codes, metas = [], [], []
-    for name in tqdm(keep, desc="Building pileups", disable=None):
-        logging.debug(get_worker_log("SplitProfile", name, "start"))
-        rid = bam.name_to_ref_id.get(name)
-        if rid is None:
-            continue
-        L = registry.length_of(name)
-        try:
-            if cfg.skip_mm_profiling:
-                pu = build_scaffold_pileup(bam, pairs, rid, L)
-            else:
-                pu = build_scaffold_pileup_padded(bam, pairs, rid, L)
-        except Exception as e:
-            log_failure("SplitException", name, str(e))
-            continue
-        if pu is None:
-            continue
-        if cfg.skip_mm_profiling:
-            pu.counts = pu.counts.sum(axis=0, keepdims=True)
-            pu.mm_values = np.array([0])
-            pu.qid2mmidx = np.where(pu.qid2mmidx >= 0, 0,
-                                    -1).astype(np.int32)
-        pileups.append(pu)
-        codes.append(registry.codes[name])
-        metas.append((name, L))
 
-    if not pileups:
-        return []
-    # The device loop runs in a background thread (the relay's device
-    # calls release the GIL); per-scaffold table building — and, with
-    # `stream`, the covT/clonT/clonTR hd5 writes — overlaps it here as
-    # each launch's stats land, instead of following serially.
+    # STREAMING producer: pileups are built here on the main thread and
+    # enqueued to the device thread as they finish — the first kernel
+    # launch dispatches while later pileups are still being built (the
+    # reference's split workers likewise stream into merge workers,
+    # profile_controller.py:157-193). The relay's device calls release
+    # the GIL, so builds overlap launches.
+    in_q: "queue_mod.Queue" = queue_mod.Queue()
+    pileups, codes, metas = [], [], []
+
+    def produce_pileups():
+        try:
+            for name in tqdm(keep, desc="Building pileups", disable=None):
+                logging.debug(get_worker_log("SplitProfile", name,
+                                             "start"))
+                rid = bam.name_to_ref_id.get(name)
+                if rid is None:
+                    continue
+                L = registry.length_of(name)
+                try:
+                    if cfg.skip_mm_profiling:
+                        pu = build_scaffold_pileup(bam, pairs, rid, L)
+                    else:
+                        pu = build_scaffold_pileup_padded(bam, pairs,
+                                                          rid, L)
+                except Exception as e:
+                    log_failure("SplitException", name, str(e))
+                    continue
+                if pu is None:
+                    continue
+                if cfg.skip_mm_profiling:
+                    pu.counts = pu.counts.sum(axis=0, keepdims=True)
+                    pu.mm_values = np.array([0])
+                    pu.qid2mmidx = np.where(pu.qid2mmidx >= 0, 0,
+                                            -1).astype(np.int32)
+                i = len(pileups)
+                pileups.append(pu)
+                codes.append(registry.codes[name])
+                metas.append((name, L))
+                in_q.put((i, pu, registry.codes[name]))
+        finally:
+            in_q.put(None)  # end-of-input sentinel, even on failure
+
+    # Per-scaffold table building — and, with `stream`, the
+    # covT/clonT/clonTR hd5 writes — overlaps the device loop as each
+    # launch's stats land, instead of following serially.
     def handle(i, stats):
         name, L = metas[i]
         with _phase("tables"):
@@ -531,14 +547,30 @@ def _profile_scaffolds_batched(bam, pairs, registry, keep, cfg, null_lut,
     finals_map: Dict[int, Dict] = {}
     retry_idx: List[int] = []
     seen = set()
+    # the device thread starts consuming in_q EAGERLY here (before any
+    # result is pulled): launches begin as soon as the first shape-bucket
+    # chunk fills, overlapping the remaining pileup builds
+    it = iter(compact_mod.iter_site_stats_compact_batch(
+        None, None, null_lut, freq_lut, in_queue=in_q,
+        min_cov=cfg.variant.min_cov,
+        rarefied_coverage=cfg.rarefied_coverage, seed=cfg.seed,
+        with_dense=True, mesh=mesh))
+    try:
+        produce_pileups()
+    except BaseException:
+        # catastrophic producer failure: the sentinel is already queued
+        # (produce_pileups' finally); drain the device thread before
+        # propagating so no launch is in flight when the caller aborts
+        for _ in it:
+            pass
+        raise
+    if not pileups:
+        for _ in it:  # joins the device thread, stops the watchdog
+            pass
+        return []
     bar = tqdm(total=len(pileups), desc="Profiling scaffolds",
                disable=None)
     try:
-        it = iter(compact_mod.iter_site_stats_compact_batch(
-            pileups, codes, null_lut, freq_lut,
-            min_cov=cfg.variant.min_cov,
-            rarefied_coverage=cfg.rarefied_coverage, seed=cfg.seed,
-            with_dense=True, mesh=mesh))
         while True:
             # time blocked on the device thread separately from the
             # consumer's own table building (bench breakdown accounting)
@@ -562,8 +594,10 @@ def _profile_scaffolds_batched(bam, pairs, registry, keep, cfg, null_lut,
     except Exception as e:
         # engine containment: a kernel-engine exception must not kill the
         # run (the reference contains per-unit failures and continues,
-        # profile_utilities.py:92-112). Every not-yet-landed scaffold
-        # retries on the right-sizing per-scaffold hybrid path below.
+        # profile_utilities.py:92-112). The engine error is re-raised
+        # only after the device thread has drained, so no launch is in
+        # flight here. Every not-yet-landed scaffold retries on the
+        # right-sizing per-scaffold hybrid path below.
         log_failure("EngineException", "batch_engine", str(e))
         logging.error(f"batch engine failed ({e}); retrying every "
                       f"scaffold on the per-scaffold path")

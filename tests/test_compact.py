@@ -295,8 +295,10 @@ def test_batch_engine_failure_falls_back(tmp_path, ref_null_model):
     def boom(*a, **k):
         raise RuntimeError("injected batch-engine failure")
 
-    orig = C.run_site_stats_compact_batch
-    C.run_site_stats_compact_batch = boom
+    # the streaming pipeline routes through run_site_stats_compact_stream
+    # (the module attribute, so this injection intercepts it)
+    orig = C.run_site_stats_compact_stream
+    C.run_site_stats_compact_stream = boom
     try:
         cfg = ProfileConfig(output=str(tmp_path / "fb"),
                             skip_plot_generation=True,
@@ -305,7 +307,7 @@ def test_batch_engine_failure_falls_back(tmp_path, ref_null_model):
         cfg.variant.null_model = ref_null_model
         out_fb = profile(bam, fasta, cfg)
     finally:
-        C.run_site_stats_compact_batch = orig
+        C.run_site_stats_compact_stream = orig
 
     log = open(str(tmp_path / "fb" / "log" / "log.log")).read()
     assert "FAILURE EngineException" in log
