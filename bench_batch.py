@@ -92,6 +92,10 @@ def synth(workdir: str, seed: int = 7):
         recs.sort(key=lambda r: r[0])
         parts.extend(r[1] for r in recs)
     write_bgzf(bam, b"".join(parts))
+    # minimal .bai: lets multi-host runs take the ranged sharded-decode
+    # path (the reference's fixtures ship samtools indexes)
+    from instrain_tpu.io.bai import make_bai
+    make_bai(bam)
     return fasta, bam, S * n_pairs_per_scaffold
 
 

@@ -115,6 +115,56 @@ def make_bai(bam_path: str, out_path: Optional[str] = None) -> str:
     return out_path
 
 
+def read_bam_ref_names(bam_path: str) -> List[str]:
+    """Reference names from a BGZF BAM's header ONLY — inflates leading
+    blocks until the reference dictionary is complete (headers are one
+    or two blocks), so multi-host scaffold assignment can run before any
+    record decode."""
+    out: List[str] = []
+    with open(bam_path, "rb") as f:
+        raw = f.read(1 << 22)  # headers are far smaller than 4 MB
+    stream = b""
+    p = 0
+    while p < len(raw):
+        if raw[p:p + 2] != b"\x1f\x8b":
+            break
+        xlen = struct.unpack_from("<H", raw, p + 10)[0]
+        q = p + 12
+        bsize = None
+        while q < p + 12 + xlen:
+            si1, si2 = raw[q], raw[q + 1]
+            slen = struct.unpack_from("<H", raw, q + 2)[0]
+            if si1 == 66 and si2 == 67:
+                bsize = struct.unpack_from("<H", raw, q + 4)[0] + 1
+            q += 4 + slen
+        if bsize is None or p + bsize > len(raw):
+            break
+        stream += zlib.decompress(raw[p:p + bsize], 31)
+        p += bsize
+        # try to parse the complete reference dictionary
+        if stream[:4] != b"BAM\x01" or len(stream) < 12:
+            continue
+        try:
+            sp = 4
+            l_text = struct.unpack_from("<i", stream, sp)[0]
+            sp += 4 + l_text
+            n_ref = struct.unpack_from("<i", stream, sp)[0]
+            sp += 4
+            names = []
+            for _ in range(n_ref):
+                l_name = struct.unpack_from("<i", stream, sp)[0]
+                sp += 4
+                names.append(stream[sp:sp + l_name - 1].decode())
+                sp += l_name + 4
+            out = names
+            break
+        except (struct.error, IndexError, UnicodeDecodeError):
+            continue  # need more blocks
+    if not out:
+        raise ValueError(f"could not parse BAM header of {bam_path}")
+    return out
+
+
 def find_bai(bam_path: str) -> Optional[str]:
     import os
     cands = [bam_path + ".bai"]

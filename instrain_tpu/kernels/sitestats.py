@@ -354,9 +354,6 @@ def _masked_median(sorted_vals, count):
     return jnp.where(count > 0, med, jnp.nan)
 
 
-_MED_WAYS = 32  # pivots-per-pass W; 7 passes resolve the 2^31 bit space
-
-
 def _median_select(vals_f32, count):
     """Exact masked median without sorting: vals [R, L] float32 with
     non-members set to +inf, count [R] = members per row.
@@ -367,37 +364,29 @@ def _median_select(vals_f32, count):
     would be silently mis-ranked. Every current caller feeds coverages
     or clonalities (both >= 0).
 
-    W-way unrolled selection of the lower middle order statistic k1:
-    each pass compares the tile against W-1 per-row pivots and keeps
-    the sub-range containing k1, shrinking the 2^31-wide bit space to a
-    single value in 7 passes (span' <= span//W + 1). The former binary
-    bisect made 31 sequential compare+reduce passes whose per-iteration
-    while-loop overhead measured ~0.6 s of the 2.7 s batch launch; this
-    is 7 unrolled passes + 1 refine pass. The upper middle statistic k2
-    is ADJACENT to k1 (k2 = k1 or k1+1), so one fused extra pass
-    recovers it: v2 = v1 when count(<= v1) >= k2, else min(vals > v1).
-    Equals the jnp.sort-based median bit for bit (asserted in tests)."""
+    UNROLLED binary search for the lower middle order statistic k1: 31
+    compare+reduce passes over the tile, each a fused [R, L] compare
+    against a per-row scalar pivot — no while loop (the former
+    lax.fori_loop bisect paid per-iteration sync overhead, ~0.6 s of
+    the 2.7 s batch launch) and no multi-pivot broadcast (a W-way
+    variant materialized [R, W, L] tensors — 155 GB of HLO traffic at
+    batch shapes — and measured SLOWER than the loop it replaced). The
+    upper middle statistic k2 is ADJACENT to k1 (k2 = k1 or k1+1), so
+    one extra fused pass recovers it: v2 = v1 when count(<= v1) >= k2,
+    else min(vals > v1). Equals the jnp.sort-based median bit for bit
+    (asserted in tests)."""
     bits = jax.lax.bitcast_convert_type(vals_f32, jnp.int32)   # [R, L]
     c = jnp.maximum(count, 1).astype(jnp.int32)
     k1 = (c - 1) // 2 + 1
     k2 = c // 2 + 1
-    W = _MED_WAYS
-    j64 = jnp.arange(1, W, dtype=jnp.int64)[None, :]           # [1, W-1]
     lo = jnp.zeros_like(k1)
     hi = jnp.full_like(k1, 0x7F800000)   # exclusive; members are finite
-    for _ in range(7):
-        span = (hi - lo).astype(jnp.int64)[:, None]            # [R, 1]
-        piv = (lo[:, None].astype(jnp.int64) +
-               span * j64 // W).astype(jnp.int32)              # [R, W-1]
-        # cnt[r, w] = #(bits[r, :] <= piv[r, w]); reduce over the minor
-        # axis so XLA fuses the broadcast compare into the reduction
-        cnt = (bits[:, None, :] <= piv[:, :, None]).sum(
-            axis=2).astype(jnp.int32)
-        seg = (cnt < k1[:, None]).sum(axis=1).astype(jnp.int32)  # [R]
-        edges_lo = jnp.concatenate([lo[:, None], piv + 1], axis=1)
-        edges_hi = jnp.concatenate([piv + 1, hi[:, None]], axis=1)
-        lo = jnp.take_along_axis(edges_lo, seg[:, None], axis=1)[:, 0]
-        hi = jnp.take_along_axis(edges_hi, seg[:, None], axis=1)[:, 0]
+    for _ in range(31):                  # 2^31 span -> 1 in 31 halvings
+        mid = lo + ((hi - lo) >> 1)
+        cnt = (bits <= mid[:, None]).sum(axis=1).astype(jnp.int32)
+        t = cnt >= k1
+        lo = jnp.where(t, lo, mid + 1)
+        hi = jnp.where(t, mid, hi)
     v1b = lo
     # adjacent-stat refine: one more tile pass for the upper middle stat
     le1 = bits <= v1b[:, None]

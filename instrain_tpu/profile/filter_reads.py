@@ -128,6 +128,15 @@ class PairSet:
     def rdic(self, skip_mm: bool = False) -> Dict[str, object]:
         """Dict view: scaffold -> {qname: mm} (or set, reference
         controller.py:274-281 when skip_mm_profiling)."""
+        full = getattr(self, "_full_rdic", None)
+        if full is not None:
+            # distributed runs pre-merge the complete Rdic across hosts
+            # (filter_reads_distributed) — the gather is a collective and
+            # must not run lazily from a background store thread
+            full_dict, built_skip = full
+            assert built_skip == skip_mm, \
+                "distributed Rdic was merged for a different mm mode"
+            return full_dict
         assert self.qnames is not None
         out = {}
         for rid, name in enumerate(self.ref_names):
@@ -378,6 +387,144 @@ def _mapping_info_table(all_info: PairInfo, info: PairInfo,
     adb = pd.DataFrame([arow])
     out = pd.concat([adb, sdb]).reset_index(drop=True)
     return out[["scaffold"] + _TALLY_COLS + _MEAN_COLS]
+
+
+def _median_from_hist(vals: np.ndarray, cnts: np.ndarray) -> float:
+    """np.median of the multiset {vals[i] x cnts[i]} without
+    materializing it (bit-exact: mean of the two middle order
+    statistics in float64, matching np.median on the sorted array)."""
+    n = int(cnts.sum())
+    if n == 0:
+        return float(np.nan)
+    order = np.argsort(vals, kind="stable")
+    vals = vals[order]
+    cum = np.cumsum(cnts[order])
+    k1, k2 = (n - 1) // 2, n // 2  # 0-based middle order statistics
+    v1 = float(vals[np.searchsorted(cum, k1 + 1)])
+    v2 = float(vals[np.searchsorted(cum, k2 + 1)])
+    return (v1 + v2) / 2.0
+
+
+def filter_reads_distributed(bam: BamArrays, cfg: ReadFilterConfig,
+                             scaffolds: List[str], owned: List[str],
+                             skip_mm: bool = False) -> PairSet:
+    """Multi-host read filtering over a RANGED decode of only this
+    host's owned scaffolds (reference analogue: the scaffold-sharded
+    filter worker pool, filter_reads.py:743-828).
+
+    Every non-local quantity crosses the hosts in ONE allgather, in a
+    fixed position relative to the run's other collectives:
+      - the insert-value histogram of true pairs — the only globally
+        coupled filter input is max_insert = global median * relative
+        (reference: filter_reads.py:213-218); the merged histogram
+        median is bit-exact vs np.median of the concatenated array
+      - the per-scaffold mapping_info rows — re-assembled in canonical
+        scaffold order on every host, then the all_scaffolds weighted
+        row is computed identically everywhere
+        (filter_reads.py:201-300)
+      - each host's Rdic contribution, merged so every host stores the
+        complete Rdic (the profile dir must match a 1-process run
+        byte for byte)
+
+    Requires pairing_filter='paired_only' (the only mode whose pairing
+    decision is per-(scaffold, qname) local; non_discordant/all_reads
+    inspect a qname's mappings ACROSS scaffolds and fall back to the
+    replicated full-decode path in the pipeline).
+    """
+    assert cfg.pairing_filter == "paired_only"
+    from ..parallel.distributed import allgather_tables
+
+    owned_set = set(owned)
+    owned_order = [s for s in scaffolds if s in owned_set
+                   and s in bam.name_to_ref_id]
+    all_info = pair_info_from_records(bam)
+    keep_rids = np.array([bam.name_to_ref_id[s] for s in owned_order],
+                         dtype=np.int64)
+    all_info = _subset(all_info, np.isin(all_info.ref_id, keep_rids))
+
+    priority = load_priority_reads(cfg.priority_reads)
+    if priority and bam.qnames is not None:
+        name_to_qid = {n: i for i, n in enumerate(bam.qnames)}
+        priority_ids = np.array(sorted(name_to_qid[p] for p in priority
+                                       if p in name_to_qid),
+                                dtype=np.int64)
+    else:
+        priority_ids = np.zeros(0, dtype=np.int64)
+
+    info = apply_pairing_filter(all_info, cfg.pairing_filter, priority_ids)
+
+    # ---- phase 1 collective: insert histogram ----
+    pair_inserts = info.insert[info.reads == 2]
+    vals, cnts = np.unique(pair_inserts, return_counts=True)
+    hists = allgather_tables([dict(vals=vals, cnts=cnts)])
+    g_vals = np.concatenate([h["vals"] for h in hists])
+    g_cnts = np.concatenate([h["cnts"] for h in hists])
+    median_insert = _median_from_hist(g_vals, g_cnts)
+    max_insert = median_insert * cfg.max_insert_relative
+
+    results = evaluate_pairs(info, cfg, max_insert)
+    passed = results.all(axis=1)
+    is_priority = np.isin(info.qname_id, priority_ids)
+
+    # local per-scaffold rows (owned scaffolds only), then a second
+    # collective merges them into the canonical global table
+    local_tbl = _mapping_info_table(all_info, info, results, passed,
+                                    is_priority, priority_ids,
+                                    owned_order, bam)
+    local_rows = local_tbl[local_tbl["scaffold"] != "all_scaffolds"]
+
+    # local Rdic contribution (qname strings resolve locally; peer hosts
+    # lack this host's qname table)
+    local_pairs = PairSet(info=info, passed=passed, mm=info.nm.copy(),
+                          mapping_info=local_tbl, filter_values={},
+                          ref_names=list(bam.ref_names),
+                          qnames=bam.qnames)
+    rdic_local = {s: d for s, d in
+                  local_pairs.rdic(skip_mm=skip_mm).items()
+                  if s in owned_set}
+
+    # ---- phase 2 collective: mapping rows + Rdic contributions ----
+    gathered = allgather_tables([dict(rows=local_rows, rdic=rdic_local)])
+    sdb = pd.concat([g["rows"] for g in gathered])
+    order_ix = {s: i for i, s in enumerate(scaffolds)}
+    sdb = sdb.sort_values("scaffold",
+                          key=lambda c: c.map(order_ix)).reset_index(
+                              drop=True)
+    # all_scaffolds weighted row over the COMPLETE table
+    # (reference: filter_reads.py:277-298)
+    arow = {"scaffold": "all_scaffolds"}
+    cdb = sdb[sdb["pass_pairing_filter"] > 0]
+    total = cdb["pass_pairing_filter"].sum()
+    for c in _TALLY_COLS:
+        arow[c] = int(cdb[c].sum()) if len(cdb) else 0
+    for c in _MEAN_COLS:
+        arow[c] = (float((cdb[c] * cdb["pass_pairing_filter"]).sum() /
+                         total) if total > 0 else np.nan)
+    table = pd.concat([pd.DataFrame([arow]), sdb]).reset_index(drop=True)
+    table = table[["scaffold"] + _TALLY_COLS + _MEAN_COLS]
+
+    merged: Dict[str, object] = {}
+    for g in gathered:
+        merged.update(g["rdic"])
+    # one entry per bam reference in HEADER order, empty where no pairs —
+    # matching the single-process dict key-for-key (PairSet.rdic
+    # enumerates ref_names; json key order must be byte-identical)
+    full_rdic = {s: merged.get(s, set() if skip_mm else {})
+                 for s in bam.ref_names}
+
+    values = {
+        "min_read_ani": cfg.min_read_ani,
+        "max_insert": max_insert,
+        "min_insert": cfg.min_insert,
+        "min_mapq": cfg.min_mapq,
+        "pairing_filter": cfg.pairing_filter,
+        "max_insert_relative": cfg.max_insert_relative,
+    }
+    ps = PairSet(info=info, passed=passed, mm=info.nm.copy(),
+                 mapping_info=table, filter_values=values,
+                 ref_names=list(bam.ref_names), qnames=bam.qnames)
+    ps._full_rdic = (full_rdic, skip_mm)
+    return ps
 
 
 def write_mapping_info(df: pd.DataFrame, location: Optional[str],

@@ -107,11 +107,39 @@ def _profile_impl(bam_path: str, fasta_path: str, cfg: ProfileConfig,
 
     ref_seqs = {n: fasta_io.CODE2BASE[np.minimum(registry.codes[n], 4)]
                 for n in registry.names}
-    bam = decode_bam(bam_path, ref_seqs=ref_seqs, threads=cfg.processes,
-                     baq=False)
-    if cfg.filter.maximum_reads:
-        _subsample_bam(bam, cfg.filter.maximum_reads, cfg.seed)
-    pairs = filter_reads(bam, cfg.filter, scaffolds=registry.names)
+    # multi-host (DCN): shard the DECODE and FILTER stages too — each
+    # host ranged-decodes only its owned scaffolds' BGZF blocks
+    # (io/bai.py extents drive a decode-free greedy assignment) and the
+    # only globally-coupled filter quantities (insert median, mapping
+    # rows, Rdic) cross in two small allgathers
+    # (filter_reads_distributed). Replaces the round-4 design where
+    # decode + filtering replicated on every host.
+    import jax
+    owned = None
+    if jax.process_count() > 1:
+        owned = _plan_sharded_decode(bam_path, registry, cfg)
+    if owned is not None:
+        bam = decode_bam(bam_path, ref_seqs=ref_seqs,
+                         threads=cfg.processes, baq=False,
+                         scaffolds=owned)
+        if bam.ranged:
+            logging.info(
+                f"sharded decode: host {jax.process_index()} "
+                f"ranged-decoded {len(owned)} of {len(registry.names)} "
+                f"scaffolds")
+        else:
+            logging.info("ranged decode unavailable; this host decoded "
+                         "the full BAM (filtering stays sharded)")
+        from .filter_reads import filter_reads_distributed
+        pairs = filter_reads_distributed(
+            bam, cfg.filter, registry.names, owned,
+            skip_mm=cfg.skip_mm_profiling)
+    else:
+        bam = decode_bam(bam_path, ref_seqs=ref_seqs,
+                         threads=cfg.processes, baq=False)
+        if cfg.filter.maximum_reads:
+            _subsample_bam(bam, cfg.filter.maximum_reads, cfg.seed)
+        pairs = filter_reads(bam, cfg.filter, scaffolds=registry.names)
 
     # store read-filtering results (reference: controller.py:260-322).
     # Under the batch engine this runs in a background thread overlapping
@@ -167,19 +195,23 @@ def _profile_impl(bam_path: str, fasta_path: str, cfg: ProfileConfig,
                                        pairs.mean_pair_length, cfg)
     keep.sort(key=lambda n: s2p.get(n, 0), reverse=True)
 
-    # multi-host (DCN): each process profiles only the scaffolds it owns
-    # under the canonical greedy assignment, then per-scaffold payloads
-    # allgather before table assembly (reference analogue: the whole
-    # process-pool runtime, SURVEY §2.16 / profile_controller.py:243-271).
-    # Read filtering above ran identically on every host (it is global:
-    # the insert-size median spans all scaffolds), so the assignment and
+    # multi-host (DCN): each process profiles only the scaffolds it owns,
+    # then per-scaffold payloads allgather before table assembly
+    # (reference analogue: the whole process-pool runtime, SURVEY §2.16 /
+    # profile_controller.py:243-271). With sharded decode, ownership IS
+    # the decode assignment (a host only holds its own scaffolds'
+    # records); on the replicated fallback it is the canonical greedy
+    # assignment by filtered-pair count. Either way the assignment and
     # every downstream table are deterministic across hosts.
-    import jax
     multi_host = jax.process_count() > 1
     if multi_host:
-        from ..parallel.distributed import my_scaffolds
-        keep_local = my_scaffolds({n: s2p.get(n, 0) for n in keep})
-        keep_local = [n for n in keep if n in set(keep_local)]
+        if owned is not None:
+            owned_set = set(owned)
+            keep_local = [n for n in keep if n in owned_set]
+        else:
+            from ..parallel.distributed import my_scaffolds
+            keep_local = my_scaffolds({n: s2p.get(n, 0) for n in keep})
+            keep_local = [n for n in keep if n in set(keep_local)]
         logging.info(
             f"multi-host: process {jax.process_index()} of "
             f"{jax.process_count()} owns {len(keep_local)} of "
@@ -741,6 +773,49 @@ def _reads_to_snvs(stats: ScaffoldStats) -> Dict[int, Dict[str, list]]:
                           qn.tolist()):
         out[m][q].append(f"{p}:{bchar[b]}")
     return {m: dict(v) for m, v in out.items()}
+
+
+def _plan_sharded_decode(bam_path, registry, cfg):
+    """Decode-free multi-host scaffold assignment: greedy bin-packing of
+    the .bai per-reference COMPRESSED byte extents (a ~read-count proxy
+    available before any decode; the reference's analogous balancing is
+    pair-count based and runs post-decode,
+    profile_controller.py:460-465). Returns this host's owned scaffold
+    list, or None when a globally-coupled option forces the replicated
+    full-decode path:
+      - pairing_filter != paired_only (non_discordant / all_reads
+        inspect one qname's mappings ACROSS scaffolds,
+        filter_reads.py:471-542)
+      - detailed_mapping_info (a global per-pair table)
+      - maximum_reads subsampling (the kept-template hash set must span
+        the whole BAM)
+      - no .bai index
+    The plan is a pure function of the BAM + config, so every host
+    computes the identical assignment — collective order stays aligned.
+    """
+    if cfg.filter.pairing_filter != "paired_only":
+        return None
+    if cfg.detailed_mapping_info or cfg.filter.maximum_reads:
+        return None
+    from ..io.bai import find_bai, read_bam_ref_names, read_ref_extents
+    bai = find_bai(bam_path)
+    if bai is None:
+        return None
+    try:
+        extents = read_ref_extents(bai)
+        names = read_bam_ref_names(bam_path)
+    except Exception as e:
+        logging.info(f"sharded decode unavailable ({e}); replicating")
+        return None
+    import jax
+    name_set = set(registry.names)
+    weights = {n: int(extents[i]) if i < len(extents) else 0
+               for i, n in enumerate(names) if n in name_set}
+    if not weights:
+        return None
+    from ..parallel.distributed import assign_scaffolds_to_hosts
+    bins = assign_scaffolds_to_hosts(weights, jax.process_count())
+    return bins[jax.process_index()]
 
 
 def _subsample_bam(bam, maximum_reads: int, seed: int):

@@ -96,10 +96,14 @@ def test_two_process_profile_matches_single(tmp_path, ref_null_model):
         assert p.returncode == 0 and "WORKER_OK" in txt, \
             f"worker {i} failed:\n{txt[-3000:]}"
 
-    # each worker really did profile only a strict subset
+    # each worker really did profile only a strict subset, AND the
+    # decode itself was sharded (.bai-ranged; round-5: decode/filter no
+    # longer replicate on every host)
     for i in range(2):
         log = open(str(outs[i]) + "/log/log.log").read()
         assert "owns 1 of 2 scaffolds" in log, "scaffolds were not split"
+        assert "sharded decode: host" in log, \
+            "ranged sharded decode did not run"
 
     # single-process run for the golden comparison
     from instrain_tpu.config import ProfileConfig
