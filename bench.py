@@ -286,6 +286,18 @@ def main():
     sars = bench_sars()
     batch = bench_batch_metagenome()
 
+    # compare-stack number (round-4 verdict item 4): E. coli fixture +
+    # a synthetic 16-sample sweep with host AND device overlap engines
+    try:
+        import bench_compare
+        compare = {
+            "ecoli_fixture": bench_compare.bench_ecoli(),
+            "synthetic": bench_compare.bench_synth(
+                n_samples=16, n_scaffolds=2, L=1 << 21),
+        }
+    except Exception as e:  # the headline metrics must still print
+        compare = {"error": str(e)}
+
     result = {
         "metric": "profile_pairs_per_sec",
         "value": sars["pairs_per_sec"],
@@ -296,6 +308,7 @@ def main():
             "baseline_pairs_per_sec": round(BASELINE_PAIRS_PER_SEC, 1),
             "sars": sars,
             "batch": batch,
+            "compare": compare,
         },
     }
     print(json.dumps(result))

@@ -278,6 +278,39 @@ def _load_scaffold_data(prof: ProfileDir, scaffold: str
     return SampleScaffoldData(covT=covT, snp=snp)
 
 
+def _threshold_masks(covT: Dict[int, pd.Series], mms_global, L: int,
+                     min_cov: int) -> np.ndarray:
+    """Per-mm cumulative coverage-threshold masks [Mg, L] bool at the
+    scaffold's GLOBAL mm grid. Computed ONCE per sample — the former
+    per-pair accumulation redid this O(n_samples) times per sample
+    (reference semantics: readComparer.calc_mm2overlap 145-191; the
+    cumulative coverage at mm m depends only on levels <= m, so the
+    global grid restricted to a pair's union equals the pair-local
+    computation)."""
+    t = np.zeros((len(mms_global), L), dtype=bool)
+    cov = np.zeros(L)
+    for k, mm in enumerate(mms_global):
+        s = covT.get(mm)
+        if s is not None:
+            cov[s.index.values] += s.values
+        t[k] = cov >= min_cov
+    return t
+
+
+def _use_device_overlap(cfg, n: int, mg: int, L: int) -> bool:
+    eng = getattr(cfg, "engine", "auto")
+    if eng == "host":
+        return False
+    if eng == "device":
+        return True
+    import jax
+    if jax.default_backend() == "cpu":
+        return False
+    # relay dispatch costs ~25 ms; only worth it when the popcount work
+    # is substantial (all-pairs AND over n^2/2 * Mg * L bits)
+    return n * n * mg * L >= 1 << 33
+
+
 def compare_scaffold(sc: ScaffoldComparison, null_lut, freq_lut,
                      cfg: CompareConfig):
     """reference: readComparer.compare_scaffold (35-143)."""
@@ -286,13 +319,30 @@ def compare_scaffold(sc: ScaffoldComparison, null_lut, freq_lut,
     mdbs = []
     pair2mm2overlap = {}
     n = len(sc.names)
+
+    # per-sample threshold masks at the global mm grid + all-pairs
+    # overlap counts (MXU einsum on device, u64 popcount on host —
+    # bit-identical; kernels/compare.py)
+    mms_global = sorted({mm for d in datas for mm in d.covT})
+    masks = [_threshold_masks(d.covT, mms_global, sc.length, cfg.min_cov)
+             for d in datas]
+    from ..kernels import compare as kcompare
+    if _use_device_overlap(cfg, n, max(len(mms_global), 1), sc.length):
+        both_counts, single_counts = \
+            kcompare.pairwise_overlap_counts_device(masks)
+    else:
+        both_counts, single_counts = \
+            kcompare.pairwise_overlap_counts_host(masks)
+    pre = dict(mms_global=mms_global, masks=masks,
+               both=both_counts, single=single_counts)
+
     for i in range(n):
         for j in range(i, n):
             if i == j and not cfg.include_self_comparisons:
                 continue
             rows, mdb, mm2ov = _compare_pair(
                 sc, datas[i], datas[j], sc.names[i], sc.names[j],
-                null_lut, freq_lut, cfg)
+                null_lut, freq_lut, cfg, pre, i, j)
             for k, v in rows.items():
                 table[k].extend(v)
             if cfg.store_mismatch_locations and mdb is not None:
@@ -312,29 +362,23 @@ def _dedupe_snp(snp: pd.DataFrame) -> pd.DataFrame:
     return snp.drop_duplicates(subset=["position"], keep="last")
 
 
-def _compare_pair(sc, d1, d2, name1, name2, null_lut, freq_lut, cfg):
+def _compare_pair(sc, d1, d2, name1, name2, null_lut, freq_lut, cfg,
+                  pre, i, j):
+    """One sample pair's rows from the precomputed per-sample masks and
+    all-pairs overlap counts (`pre`, built in compare_scaffold).
+    reference: readComparer.py:145-191 + 205-289."""
     L = sc.length
-    min_cov = cfg.min_cov
     mms = sorted(set(d1.covT.keys()) | set(d2.covT.keys()))
-    M = len(mms)
-
-    cov1 = np.zeros(L)
-    cov2 = np.zeros(L)
-    both = np.zeros((M, L), dtype=bool)
-    cov_overlap = np.zeros(M)
-    for k, mm in enumerate(mms):
-        if mm in d1.covT:
-            s = d1.covT[mm]
-            cov1[s.index.values] += s.values
-        if mm in d2.covT:
-            s = d2.covT[mm]
-            cov2[s.index.values] += s.values
-        t1 = cov1 >= min_cov
-        t2 = cov2 >= min_cov
-        b = t1 & t2
-        e = (t1 | t2).sum()
-        both[k] = b
-        cov_overlap[k] = (b.sum() / e) if e > 0 else 0
+    gidx = [pre["mms_global"].index(mm) for mm in mms]
+    t1g, t2g = pre["masks"][i], pre["masks"][j]
+    bothc = pre["both"][:, i, j]
+    c1, c2 = pre["single"][:, i], pre["single"][:, j]
+    cov_overlap = np.zeros(len(mms))
+    bases_k = np.zeros(len(mms), dtype=np.int64)
+    for k, g in enumerate(gidx):
+        e = c1[g] + c2[g] - bothc[g]
+        bases_k[k] = bothc[g]
+        cov_overlap[k] = (bothc[g] / e) if e > 0 else 0
 
     # SNP-position-level calls (mm-independent; reference merges the
     # highest-mm rows of each sample, readComparer.py:229-289)
@@ -347,18 +391,20 @@ def _compare_pair(sc, d1, d2, name1, name2, null_lut, freq_lut, cfg):
     if len(pos_union):
         con_snp, pop_snp, pairinfo = _call_pair_snps(
             s1, s2, pos_union, null_lut, freq_lut, cfg.min_freq)
+        active_g = t1g[:, pos_union] & t2g[:, pos_union]   # [Mg, P]
     else:
         con_snp = np.zeros(0, dtype=bool)
         pop_snp = np.zeros(0, dtype=bool)
         pairinfo = None
+        active_g = np.zeros((len(pre["mms_global"]), 0), dtype=bool)
 
     rows = defaultdict(list)
     mdb_rows = []
-    for k, mm in enumerate(mms):
-        active = both[k][pos_union] if len(pos_union) else np.zeros(0, bool)
+    for k, (mm, g) in enumerate(zip(mms, gidx)):
+        active = active_g[g]
         snps = int((con_snp & active).sum())
         popsnps = int((pop_snp & active).sum())
-        bases = int(both[k].sum())
+        bases = int(bases_k[k])
         rows["mm"].append(mm)
         rows["scaffold"].append(sc.scaffold)
         rows["name1"].append(name1)
@@ -389,7 +435,8 @@ def _compare_pair(sc, d1, d2, name1, name2, null_lut, freq_lut, cfg):
     mdb = pd.concat(mdb_rows, sort=False) if mdb_rows else None
     # positions covered >= min_cov in both samples, per mm
     # (reference: readComparer.py:118-119 via calc_mm2overlap)
-    mm2ov = ({mm: np.flatnonzero(both[k]) for k, mm in enumerate(mms)}
+    mm2ov = ({mm: np.flatnonzero(t1g[g] & t2g[g])
+              for mm, g in zip(mms, gidx)}
              if cfg.store_coverage_overlap else None)
     return rows, mdb, mm2ov
 

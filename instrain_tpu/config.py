@@ -119,6 +119,9 @@ class CompareConfig:
     clusterAlg: str = "average"
     bams: List[str] = field(default_factory=list)
     skip_popANI: bool = False
+    # overlap-count engine: auto | host | device (kernels/compare.py —
+    # device = MXU all-pairs einsum over bit-packed masks)
+    engine: str = "auto"
 
 
 def config_from_kwargs(cls, kwargs: dict):

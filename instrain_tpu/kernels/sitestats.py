@@ -29,11 +29,20 @@ zero are masked out (the reference only visits present levels).
 from __future__ import annotations
 
 import functools
+import os
 from typing import Dict
 
 import jax
 import jax.numpy as jnp
 import numpy as np
+
+# Ablation switches (perf attribution only — results are WRONG when any
+# is set): comma-separated stage names in INSTRAIN_ABLATE replace that
+# stage with a shape-compatible stub at trace time, so compiled-variant
+# timings isolate each stage's real cost on hardware. Used by
+# .scratch/ablate_kernel.py; never set in production or tests.
+_ABLATE = frozenset(
+    x for x in os.environ.get("INSTRAIN_ABLATE", "").split(",") if x)
 
 # class codes (order matches reference string names for table emission)
 CLASS_NAMES = ["SNS", "SNV", "con_SNV", "pop_SNV", "DivergentSite",
@@ -136,6 +145,8 @@ def _clonR_values(rng_key, cdf, pos_idx, rarefied_draws: int):
     (d*M + m, p) — identical values for any P/gather pattern)."""
     M = cdf.shape[0]
     P = cdf.shape[2]
+    if "draws" in _ABLATE:
+        return cdf[:, 0, :] * 0.0
     k0, k1 = _key_words(rng_key)
     m_idx = jnp.arange(M, dtype=jnp.uint32)[:, None]         # [M, 1]
     p_idx = pos_idx.astype(jnp.uint32)[None, :]              # [1, P]
@@ -325,6 +336,8 @@ def _ffill_expand(vals_list, set_mask, fills):
     M = set_mask.shape[0]
     outs = [jnp.where(set_mask, v, jnp.full_like(v, f))
             for v, f in zip(vals_list, fills)]
+    if "ffill" in _ABLATE:
+        return outs, set_mask
     have = set_mask
     k = 1
     while k < M:
@@ -375,6 +388,8 @@ def _median_select(vals_f32, count):
     one extra fused pass recovers it: v2 = v1 when count(<= v1) >= k2,
     else min(vals > v1). Equals the jnp.sort-based median bit for bit
     (asserted in tests)."""
+    if "median" in _ABLATE:
+        return jnp.where(count > 0, vals_f32[:, 0], jnp.nan)
     bits = jax.lax.bitcast_convert_type(vals_f32, jnp.int32)   # [R, L]
     c = jnp.maximum(count, 1).astype(jnp.int32)
     k1 = (c - 1) // 2 + 1
@@ -466,7 +481,11 @@ def _site_stats_compact_traced(counts, ref_codes, null_lut, freq_lut,
         M, _, L = counts.shape
         cap = kw["rpos_capacity"]
         rset_any = jnp.any(full["clonR_set"], axis=0)        # [L]
-        (ridx,) = jnp.nonzero(rset_any, size=cap, fill_value=-1)
+        if "nonzero" in _ABLATE:
+            ridx = jnp.arange(cap, dtype=jnp.int32) * (
+                1 + rset_any[0].astype(jnp.int32))
+        else:
+            (ridx,) = jnp.nonzero(rset_any, size=cap, fill_value=-1)
         rvalid = ridx >= 0
         safe = jnp.maximum(ridx, 0)
         vals_g = _clonR_values(rng_key, full["cdf"][:, :, safe],
@@ -515,7 +534,11 @@ def _compact_from_full(full, counts, snp_capacity, pos_capacity, true_len,
     present = full["present"]
 
     flat_pm = row.T.reshape(-1)
-    (ridx,) = jnp.nonzero(flat_pm, size=snp_capacity, fill_value=-1)
+    if "nonzero" in _ABLATE:
+        ridx = jnp.arange(snp_capacity, dtype=jnp.int32) * (
+            1 + flat_pm[0].astype(jnp.int32))
+    else:
+        (ridx,) = jnp.nonzero(flat_pm, size=snp_capacity, fill_value=-1)
     valid_rows = ridx >= 0
     safe = jnp.maximum(ridx, 0)
     r_pos = safe // M
@@ -592,7 +615,12 @@ def _compact_from_full(full, counts, snp_capacity, pos_capacity, true_len,
         mm_active=present.any(axis=1),
     )
 
-    (pidx,) = jnp.nonzero(full["any_snp"], size=pos_capacity, fill_value=-1)
+    if "nonzero" in _ABLATE:
+        pidx = jnp.arange(pos_capacity, dtype=jnp.int32) * (
+            1 + full["any_snp"][0].astype(jnp.int32))
+    else:
+        (pidx,) = jnp.nonzero(full["any_snp"], size=pos_capacity,
+                              fill_value=-1)
     pvalid = pidx >= 0
     psafe = jnp.maximum(pidx, 0)
     linkage = dict(
@@ -635,6 +663,12 @@ def _densify_sparse(d16, vals_u8, corr_idx, corr_val, shape):
     smaller wire. Zero-padded tail entries re-add 0 at the last index
     (or index -1 -> wraps, still +0) — self-neutralizing."""
     n = shape[0] * shape[1] * shape[2]
+    if "densify" in _ABLATE:
+        pad = jnp.zeros(n - vals_u8.shape[0], jnp.int32)
+        flat = jnp.concatenate([vals_u8.astype(jnp.int32) +
+                                d16[:1].astype(jnp.int32) +
+                                corr_val[:1], pad])
+        return flat.reshape(shape)
     idx = jnp.cumsum(d16.astype(jnp.int32)) - 1
     cell = jnp.zeros(n, jnp.int32)
     cell = cell.at[idx].add(vals_u8.astype(jnp.int32))
@@ -715,6 +749,11 @@ def _pack_out(out, spec_key):
     concatenate into uint64 words (little-endian byte order on this
     host/device pair, asserted by the wire roundtrip tests)."""
     leaves, treedef = jax.tree_util.tree_flatten(out)
+    if "pack" in _ABLATE:
+        tot = jnp.float32(0)
+        for x in leaves:
+            tot = tot + jnp.sum(x.astype(jnp.float32))
+        return (tot.astype(jnp.uint64).reshape(1),)
     parts8, parts64 = [], []
     spec = []
     for x in leaves:

@@ -118,3 +118,30 @@ def test_full_compare_pipeline(tmp_path, ref_null_model):
     # samples at 100.0 vs 99.9 ANI: popANI should be high but < 1
     assert 0.9 < nr["popANI"].iloc[0] <= 1.0
     assert os.path.exists(out.get_output_base() + "comparisonsTable.tsv")
+
+
+def test_overlap_counts_device_matches_host():
+    """kernels/compare.py: the MXU einsum over bit-packed masks must
+    produce the same integers as the u64-popcount host path (and both
+    must equal the naive boolean reduction), including ragged lengths
+    that exercise the packing pad and the position-chunk loop."""
+    import numpy as np
+    from instrain_tpu.kernels import compare as kc
+    rng = np.random.default_rng(7)
+    old_chunk = kc.CHUNK_BITS
+    kc.CHUNK_BITS = 1 << 10  # force multiple chunks
+    try:
+        for n, mg, L in ((2, 1, 77), (5, 3, 1 << 10), (4, 2, 3000)):
+            masks = [rng.random((mg, L)) < rng.random() for _ in range(n)]
+            bh, sh = kc.pairwise_overlap_counts_host(masks)
+            bd, sd = kc.pairwise_overlap_counts_device(masks)
+            np.testing.assert_array_equal(bh, bd)
+            np.testing.assert_array_equal(sh, sd)
+            for i in range(n):
+                assert sh[:, i].tolist() == masks[i].sum(axis=1).tolist()
+                for j in range(n):
+                    np.testing.assert_array_equal(
+                        bh[:, i, j],
+                        (masks[i] & masks[j]).sum(axis=1))
+    finally:
+        kc.CHUNK_BITS = old_chunk
