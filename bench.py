@@ -107,7 +107,7 @@ def bench_sars():
     # by minutes run to run; min over repeats measures the pipeline, not
     # relay weather.
     steadies = []
-    for _ in range(6):
+    for _ in range(10):
         t0 = time.time()
         run_once_sars(refseq, luts)
         steadies.append(time.time() - t0)

@@ -10,11 +10,12 @@ payload allgather before table assembly (profile/pipeline.py multi_host
 branch; reference analogue: the whole process-pool runtime, SURVEY
 §2.16).
 
-Workload: synthetic multi-scaffold metagenome (bench_batch.synth).
-Efficiency = T_1host / (2 * T_2host) on the steady (second, post-compile)
-in-process run; phases from the run's own checkpoint log separate the
-replicated serial stages (decode/filter run on every host — the insert
-median is global) from the distributed profiling stage.
+Workload: synthetic multi-scaffold metagenome (bench_batch.synth; its
+.bai lets each host ranged-decode only its owned scaffolds — round 5
+sharded the decode and filter stages too, with the global insert median
+crossing as an allgathered histogram). Efficiency = T_1host /
+(2 * T_2host) on the steady (second, post-compile) in-process run;
+phases from the run's own checkpoint log.
 
 Prints one JSON line. Not run by the driver.
 """

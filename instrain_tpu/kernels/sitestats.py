@@ -322,6 +322,22 @@ def _ffill_scan(vals, set_mask, fill):
     return out
 
 
+def _first_set_indices(mask, k: int):
+    """Ascending indices of the first k set positions of a 1-D bool
+    mask, -1-padded — the jnp.nonzero(size=k, fill_value=-1) contract.
+
+    Implemented with lax.top_k over descending keys instead of
+    jnp.nonzero: nonzero lowers to a cumsum + SCATTER, and TPU scatter
+    serializes — the round-5 ablation measured the kernel's three
+    nonzero compactions at ~2.27 s of the 2.79 s batch launch (81%).
+    top_k is a partial sort the TPU backend implements efficiently."""
+    n = mask.shape[0]
+    iota = jax.lax.broadcasted_iota(jnp.int32, mask.shape, 0)
+    key = jnp.where(mask, jnp.int32(n) - iota, jnp.int32(0))
+    vals, _ = jax.lax.top_k(key, k)
+    return jnp.where(vals > 0, jnp.int32(n) - vals, jnp.int32(-1))
+
+
 def _ffill_expand(vals_list, set_mask, fills):
     """Forward-fill each array down the mm axis (axis 0): out[m] = value
     at the highest m' <= m where set_mask (else that array's fill).
@@ -485,7 +501,7 @@ def _site_stats_compact_traced(counts, ref_codes, null_lut, freq_lut,
             ridx = jnp.arange(cap, dtype=jnp.int32) * (
                 1 + rset_any[0].astype(jnp.int32))
         else:
-            (ridx,) = jnp.nonzero(rset_any, size=cap, fill_value=-1)
+            ridx = _first_set_indices(rset_any, cap)
         rvalid = ridx >= 0
         safe = jnp.maximum(ridx, 0)
         vals_g = _clonR_values(rng_key, full["cdf"][:, :, safe],
@@ -538,7 +554,7 @@ def _compact_from_full(full, counts, snp_capacity, pos_capacity, true_len,
         ridx = jnp.arange(snp_capacity, dtype=jnp.int32) * (
             1 + flat_pm[0].astype(jnp.int32))
     else:
-        (ridx,) = jnp.nonzero(flat_pm, size=snp_capacity, fill_value=-1)
+        ridx = _first_set_indices(flat_pm, snp_capacity)
     valid_rows = ridx >= 0
     safe = jnp.maximum(ridx, 0)
     r_pos = safe // M
@@ -557,8 +573,10 @@ def _compact_from_full(full, counts, snp_capacity, pos_capacity, true_len,
         n_rows=row.sum(),
     )
 
+    acc_i = jnp.int32 if "agg64" in _ABLATE else jnp.int64
+    acc_f = jnp.float32 if "agg64" in _ABLATE else jnp.float64
     pos_ok = (jax.lax.broadcasted_iota(jnp.int32, (1, L), 1) < Lt)
-    toti = jnp.where(pos_ok, total, 0).astype(jnp.int64)
+    toti = jnp.where(pos_ok, total, 0).astype(acc_i)
     cov_sum = toti.sum(axis=1)
     cov_sumsq = (toti * toti).sum(axis=1)
     nonzeros = ((total > 0) & pos_ok).sum(axis=1)
@@ -570,7 +588,7 @@ def _compact_from_full(full, counts, snp_capacity, pos_capacity, true_len,
     (clon_f,), has_clon = _ffill_expand([clon], clon_set, [jnp.nan])
     counted = has_clon.sum(axis=1)
     clon_sum = jnp.where(has_clon, clon_f, 0.0).astype(
-        jnp.float64).sum(axis=1)
+        acc_f).sum(axis=1)
     clon_median = _median_select(
         jnp.where(has_clon, clon_f, jnp.inf), counted)
 
@@ -587,7 +605,7 @@ def _compact_from_full(full, counts, snp_capacity, pos_capacity, true_len,
                                          set_g, [jnp.nan])
     rarefied = hasR.sum(axis=1)
     clonR_sum = jnp.where(hasR, clonR_f, 0.0).astype(
-        jnp.float64).sum(axis=1)
+        acc_f).sum(axis=1)
     clonR_median = _median_select(
         jnp.where(hasR, clonR_f, jnp.inf), rarefied)
 
@@ -619,8 +637,7 @@ def _compact_from_full(full, counts, snp_capacity, pos_capacity, true_len,
         pidx = jnp.arange(pos_capacity, dtype=jnp.int32) * (
             1 + full["any_snp"][0].astype(jnp.int32))
     else:
-        (pidx,) = jnp.nonzero(full["any_snp"], size=pos_capacity,
-                              fill_value=-1)
+        pidx = _first_set_indices(full["any_snp"], pos_capacity)
     pvalid = pidx >= 0
     psafe = jnp.maximum(pidx, 0)
     linkage = dict(

@@ -254,6 +254,9 @@ def _run_compact_sparse(counts: np.ndarray, ref_codes: np.ndarray, L: int,
         # explicit, synchronized h2d so the benchmark can separate the
         # transfer from the compute (production lets dispatch overlap it)
         t0 = time.perf_counter()
+        _t_add("h2d_bytes", float(sum(
+            np.asarray(x).nbytes
+            for x in (d16, vals, cidx, cval, ref_codes))))
         d16, vals, cidx, cval, ref_codes, null_lut, freq_lut = [
             jax.block_until_ready(jax.device_put(x))
             for x in (d16, vals, cidx, cval, ref_codes, null_lut,
@@ -281,6 +284,7 @@ def _run_compact_sparse(counts: np.ndarray, ref_codes: np.ndarray, L: int,
         t0 = time.perf_counter()
         wire = np.asarray(res[0])
         _t_add("fetch", time.perf_counter() - t0)
+        _t_add("fetch_bytes", float(wire.nbytes))
         out = unpack_wire(wire, skey)
         if bool(out["linkage"].pop("cum_overflow")):
             return None
@@ -671,6 +675,9 @@ def _dispatch_batch_chunk(part, Mp, Lp, use_sparse, null_lut, freq_lut,
         elif TIMINGS is not None:
             # explicit, synchronized h2d so the benchmark can separate
             # the transfer from the compute (production overlaps it)
+            _t_add("h2d_bytes", float(
+                d16.nbytes + vals.nbytes + cidx_s.nbytes +
+                cval_s.nbytes + refs.nbytes))
             t0 = time.perf_counter()
             d16_d, vals_d, cidx_d, cval_d, refs_d, lens_d, keys_d = [
                 jax.block_until_ready(jax.device_put(x))
@@ -751,6 +758,7 @@ def _finish_batch_chunk(rec, results, min_cov, with_dense, emit=None,
         t0 = time.perf_counter()
         wire = np.asarray(rec["res"][0])
         _t_add("fetch", time.perf_counter() - t0)
+        _t_add("fetch_bytes", float(wire.nbytes))
         if watch is not None:
             watch.enter("idle")
         out = unpack_wire(wire, rec["skey"])
