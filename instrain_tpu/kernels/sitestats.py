@@ -334,8 +334,13 @@ def _first_set_indices(mask, k: int):
     n = mask.shape[0]
     iota = jax.lax.broadcasted_iota(jnp.int32, mask.shape, 0)
     key = jnp.where(mask, jnp.int32(n) - iota, jnp.int32(0))
-    vals, _ = jax.lax.top_k(key, k)
-    return jnp.where(vals > 0, jnp.int32(n) - vals, jnp.int32(-1))
+    kk = min(k, n)       # top_k requires k <= n; nonzero allowed k > n
+    vals, _ = jax.lax.top_k(key, kk)
+    idx = jnp.where(vals > 0, jnp.int32(n) - vals, jnp.int32(-1))
+    if kk < k:
+        idx = jnp.concatenate(
+            [idx, jnp.full(k - kk, -1, dtype=jnp.int32)])
+    return idx
 
 
 def _ffill_expand(vals_list, set_mask, fills):
