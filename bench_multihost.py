@@ -93,26 +93,28 @@ def main():
     t1 = one["steady_s"]
     t2 = max(w["steady_s"] for w in two)
 
-    # correctness gate: the 2-host batch-engine profile (incl. the
-    # streamed-own + gathered-remainder hd5 path) must equal the 1-host
-    # run table-for-table on every host
+    # correctness gate: under the production "primary" store policy,
+    # host 0's output (streamed-own + gathered-remainder hd5) must equal
+    # the 1-host run table-for-table; host 1 writes no tables
     import pandas as pd
     from instrain_tpu.store.profile_dir import ProfileDir
     ref = ProfileDir(os.path.join(workdir, "single0.steady0.IS"))
-    for host in range(2):
-        got = ProfileDir(os.path.join(workdir, f"dist{host}.steady0.IS"))
-        for tbl in ("raw_snp_table", "cumulative_scaffold_table",
-                    "raw_linkage_table"):
-            pd.testing.assert_frame_equal(
-                ref.get(tbl).reset_index(drop=True),
-                got.get(tbl).reset_index(drop=True), check_dtype=False)
-        ca, cb = ref.get("covT"), got.get("covT")
-        assert set(ca) == set(cb), "covT scaffold sets differ"
-        for sc in ca:
-            assert set(ca[sc]) == set(cb[sc])
-            for mm in ca[sc]:
-                pd.testing.assert_series_equal(ca[sc][mm], cb[sc][mm],
-                                               check_dtype=False)
+    got = ProfileDir(os.path.join(workdir, "dist0.steady0.IS"))
+    for tbl in ("raw_snp_table", "cumulative_scaffold_table",
+                "raw_linkage_table"):
+        pd.testing.assert_frame_equal(
+            ref.get(tbl).reset_index(drop=True),
+            got.get(tbl).reset_index(drop=True), check_dtype=False)
+    ca, cb = ref.get("covT"), got.get("covT")
+    assert set(ca) == set(cb), "covT scaffold sets differ"
+    for sc in ca:
+        assert set(ca[sc]) == set(cb[sc])
+        for mm in ca[sc]:
+            pd.testing.assert_series_equal(ca[sc][mm], cb[sc][mm],
+                                           check_dtype=False)
+    peer = ProfileDir(os.path.join(workdir, "dist1.steady0.IS"))
+    assert peer.get("raw_snp_table") is None, \
+        "primary store policy: peer hosts must not write tables"
     speedup = t1 / t2
     # the distributed stage alone (decode/filter replicate on every host
     # by design: the global insert median must be identical everywhere)

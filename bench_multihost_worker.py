@@ -45,6 +45,27 @@ def main():
     from instrain_tpu.config import ProfileConfig
     from instrain_tpu.profile.pipeline import profile
 
+    import instrain_tpu.profile.pipeline as pl
+    import instrain_tpu.profile.filter_reads as fr
+    import instrain_tpu.parallel.distributed as dist
+
+    extra = {}
+
+    def wrap(mod, name, key):
+        fn = getattr(mod, name)
+
+        def timed(*a, **k):
+            t0 = time.time()
+            r = fn(*a, **k)
+            extra[key] = extra.get(key, 0.0) + time.time() - t0
+            return r
+        setattr(mod, name, timed)
+
+    wrap(pl, "decode_bam", "decode")
+    wrap(fr, "filter_reads_distributed", "filter_dist")
+    wrap(pl, "filter_reads", "filter")
+    wrap(dist, "allgather_tables", "allgather")
+
     def run(tag):
         cfg = ProfileConfig(output=f"{outbase}.{tag}.IS",
                             skip_plot_generation=True,
@@ -52,16 +73,22 @@ def main():
         # the production multi-host engine (what a TPU pod runs):
         # vmapped per-bucket launches + streaming hd5 writes
         cfg.engine = "batch"
+        pl.PHASES = fine = {}
+        extra.clear()
         t0 = time.time()
         isdir = profile(bam, fasta, cfg)
-        return time.time() - t0, isdir
+        pl.PHASES = None
+        fine.update(extra)
+        return time.time() - t0, isdir, fine
 
     run("warm")
     runs = [run(f"steady{i}") for i in range(2)]
-    steady, isdir = min(runs, key=lambda r: r[0])
+    steady, isdir, fine = min(runs, key=lambda r: r[0])
     print(json.dumps({
         "pid": pid, "nproc": nproc, "steady_s": round(steady, 2),
         "phases": phase_times(isdir.get_location("log") + "log.log"),
+        "fine_s": {k: round(v, 3) for k, v in fine.items()
+                   if isinstance(v, float)},
     }), flush=True)
 
 

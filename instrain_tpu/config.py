@@ -83,6 +83,11 @@ class ProfileConfig:
     # reference's worker pools (profile_controller.py:157-193); see
     # parallel/mesh.py for the sharding layouts.
     mesh_devices: int = 0
+    # multi-host output policy: "primary" (default) — only process 0
+    # writes the tables/TSVs after the allgather, matching the
+    # reference's single-output model; "all" — every host materializes
+    # a complete identical profile dir (the byte-identity test mode)
+    distributed_store: str = "primary"
 
     def apply_database_mode(self) -> "ProfileConfig":
         """reference: controller.py:211-214."""

@@ -244,6 +244,13 @@ def _profile_impl(bam_path: str, fasta_path: str, cfg: ProfileConfig,
             # many small scaffolds amortize much better through the
             # vmapped batch kernel (one launch per shape bucket)
             engine = "batch" if len(keep_local) >= 16 else "hybrid"
+    # multi-host output policy: under "primary" (default) only process 0
+    # writes the profile outputs after the allgather — the reference's
+    # single-output model; peers profile their shard, contribute to the
+    # gather, and return. "all" makes every host materialize a complete
+    # identical dir (byte-identity test mode).
+    primary_peer = (multi_host and cfg.distributed_store != "all"
+                    and jax.process_index() != 0)
     stream: Dict[str, object] = {}
     if engine == "batch" and len(keep_local) > 1:
         # write covT/clonT/clonTR hd5 datasets as each scaffold's result
@@ -260,15 +267,17 @@ def _profile_impl(bam_path: str, fasta_path: str, cfg: ProfileConfig,
 
         def _store_reads_bg():
             try:
-                store_read_results()
+                if not primary_peer:
+                    store_read_results()
             except BaseException as e:  # noqa: BLE001 — re-raised below
                 reads_err.append(e)
 
         rt = threading.Thread(target=_store_reads_bg,
                               name="instrain-store-reads")
         rt.start()
-        stream = {k: isdir.open_special_stream(k, d)
-                  for k, d in _SPECIAL_DESCR.items()}
+        if not primary_peer:
+            stream = {k: isdir.open_special_stream(k, d)
+                      for k, d in _SPECIAL_DESCR.items()}
         try:
             finals = _profile_scaffolds_batched(
                 bam, pairs, registry, keep_local, cfg, null_lut,
@@ -286,7 +295,8 @@ def _profile_impl(bam_path: str, fasta_path: str, cfg: ProfileConfig,
             for w in stream.values():
                 w.close()
     else:
-        store_read_results()
+        if not primary_peer:
+            store_read_results()
         if engine == "batch":
             engine = "hybrid"
         cfg_engine, cfg.engine = cfg.engine, engine
@@ -304,12 +314,29 @@ def _profile_impl(bam_path: str, fasta_path: str, cfg: ProfileConfig,
         finals = [_finalize_result(r, cfg) for r in results]
     if multi_host:
         from ..parallel.distributed import allgather_tables
+
+        # the special views cross hosts as compact numpy pairs
+        # (int32 positions + original-dtype values) instead of pickled
+        # pandas Series:
+        # ~2x fewer bytes into the zlib gather payload, and Series
+        # construction happens only for scaffolds this host must write
+        def _pack_view(view):
+            return {mm: (s.index.values.astype(np.int32), s.values)
+                    for mm, s in view.items()}
+
+        def _unpack_view(packed):
+            return {mm: pd.Series(v, index=i.astype(np.int64))
+                    for mm, (i, v) in packed.items()}
+
         # one try around the WHOLE multi-host tail (allgather → sort →
         # remainder writes): a failure anywhere must abort the still-open
         # SpecialStreamWriters, not leak unflushed h5py handles
         try:
             log_checkpoint("main_profile", "allgather_results", "start")
             local_names = {r["name"] for r in finals}
+            for fin in finals:
+                for attr in _SPECIAL_DESCR:
+                    fin[attr] = _pack_view(fin[attr])
             finals = allgather_tables(finals)
             # canonical single-process order (keep is sorted identically
             # on every host), so multi-host output is byte-identical to
@@ -317,6 +344,12 @@ def _profile_impl(bam_path: str, fasta_path: str, cfg: ProfileConfig,
             order = {n: i for i, n in enumerate(keep)}
             finals.sort(key=lambda r: order.get(r["name"], len(order)))
             log_checkpoint("main_profile", "allgather_results", "end")
+            if primary_peer:
+                # this host's contribution is in the gather; process 0
+                # writes the single output (reference: one profile dir)
+                log_checkpoint("main_profile", "profile_scaffolds",
+                               "end")
+                return isdir
             if stream:
                 # own scaffolds were hd5-streamed inside the device-loop
                 # overlap window; write the gathered remainder now and
@@ -326,9 +359,13 @@ def _profile_impl(bam_path: str, fasta_path: str, cfg: ProfileConfig,
                     for attr, w in stream.items():
                         view = fin.pop(attr)
                         if not mine:
-                            w.write(fin["name"], view)
+                            w.write(fin["name"], _unpack_view(view))
                 for w in stream.values():
                     w.close()
+            else:
+                for fin in finals:
+                    for attr in _SPECIAL_DESCR:
+                        fin[attr] = _unpack_view(fin[attr])
         except BaseException:
             for w in stream.values():
                 w.abort()

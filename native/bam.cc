@@ -1544,9 +1544,17 @@ extern "C" BamData* bd_open_ranged(const char* path, int threads,
         }
     }
 
-    // parse records from each merged window
+    // parse records from the merged windows, inflated in ONE combined
+    // pass: per-window inflates paid a thread-pool spin-up each (16+
+    // interleaved windows at metagenome scale measured SLOWER than a
+    // full decode), and the single call decompresses every wanted
+    // block in one parallel sweep
     std::string qn;
     std::unordered_map<std::string, int64_t> qmap;
+    struct Win { size_t b0, data_off, ubeg, end_off; };
+    std::vector<Win> wins;
+    std::vector<Block> allspan;
+    size_t tot_out = 0;
     for (auto& w : merged) {
         size_t cbeg = (size_t)(w.first >> 16);
         size_t ubeg = (size_t)(w.first & 0xffff);
@@ -1557,15 +1565,34 @@ extern "C" BamData* bd_open_ranged(const char* path, int threads,
                                               cbeg) - c_offs.begin()) - 1;
         size_t b1 = (size_t)(std::upper_bound(c_offs.begin(), c_offs.end(),
                                               cend) - c_offs.begin());
-        rvec<uint8_t> data;
-        if (!inflate_span(raw, blocks, b0, b1, data, threads)) {
-            delete h; return nullptr;
+        Win win; win.b0 = b0; win.data_off = tot_out; win.ubeg = ubeg;
+        for (size_t i = b0; i < b1; ++i) {
+            Block b = blocks[i];
+            b.out_off = tot_out;
+            tot_out += b.out_len;
+            allspan.push_back(b);
         }
-        size_t p = ubeg;
-        if (b0 == 0 && header_end > ubeg) p = header_end;
-        while (p + 4 <= data.size()) {
+        win.end_off = tot_out;
+        wins.push_back(win);
+    }
+    rvec<uint8_t> data;
+    if (!bgzf_inflate(raw, allspan, data, threads)) {
+        delete h; return nullptr;
+    }
+    // generous reserves from the known uncompressed size so the fill
+    // below never reallocates (rvec reserve touches no pages; realloc
+    // copies are catastrophic on this bandwidth-throttled host)
+    h->ev_pos.reserve(tot_out); h->ev_base.reserve(tot_out);
+    h->ev_qual.reserve(tot_out);
+    h->seq_buf.reserve(tot_out); h->qual_buf.reserve(tot_out);
+    h->cig_buf.reserve(tot_out / 16 + 64);
+    for (auto& win : wins) {
+        size_t p = win.data_off + win.ubeg;
+        if (win.b0 == 0 && header_end > win.ubeg)
+            p = win.data_off + header_end;
+        while (p + 4 <= win.end_off) {
             int32_t bs; memcpy(&bs, &data[p], 4);
-            if (bs <= 0 || p + 4 + (size_t)bs > data.size()) break;
+            if (bs <= 0 || p + 4 + (size_t)bs > win.end_off) break;
             const uint8_t* rec = &data[p + 4];
             p += 4 + (size_t)bs;
             int32_t refID, rpos, l_seq;
@@ -1596,14 +1623,20 @@ extern "C" BamData* bd_open_ranged(const char* path, int threads,
                 int op = cg_op(cig[k]);
                 int64_t l = cg_len(cig[k]);
                 if (op == CMATCH || op == CEQUAL || op == CDIFF) {
+                    size_t eb = h->ev_pos.size();
+                    h->ev_pos.resize(eb + (size_t)l);
+                    h->ev_base.resize(eb + (size_t)l);
+                    h->ev_qual.resize(eb + (size_t)l);
+                    int32_t* pp = &h->ev_pos[eb];
+                    uint8_t* pb = &h->ev_base[eb];
+                    uint8_t* pq = &h->ev_qual[eb];
                     for (int64_t j = 0; j < l; ++j) {
                         int64_t qi = y + j;
                         uint8_t nib = (qi & 1) ? (seq[qi >> 1] & 0xf)
                                                : (seq[qi >> 1] >> 4);
-                        h->ev_pos.push_back((int32_t)(x + j));
-                        h->ev_base.push_back(NIB2CODE[nib]);
-                        h->ev_qual.push_back(
-                            qual[qi] == 0xff ? 0 : qual[qi]);
+                        pp[j] = (int32_t)(x + j);
+                        pb[j] = NIB2CODE[nib];
+                        pq[j] = qual[qi] == 0xff ? 0 : qual[qi];
                     }
                     if (rstart < 0) rstart = (int32_t)x;
                     rend = (int32_t)(x + l - 1);
@@ -1650,13 +1683,18 @@ extern "C" BamData* bd_open_ranged(const char* path, int threads,
             h->cig_off.push_back((int64_t)h->cig_buf.size());
             h->cig_n.push_back((int32_t)n_cig);
             for (int k = 0; k < n_cig; ++k) h->cig_buf.push_back(cig[k]);
-            h->seq_off.push_back((int64_t)h->seq_buf.size());
+            size_t sb = h->seq_buf.size();
+            h->seq_off.push_back((int64_t)sb);
             h->seq_len.push_back(l_seq);
+            h->seq_buf.resize(sb + (size_t)l_seq);
+            h->qual_buf.resize(sb + (size_t)l_seq);
+            uint8_t* sc = &h->seq_buf[sb];
+            uint8_t* qc = &h->qual_buf[sb];
             for (int64_t qi = 0; qi < l_seq; ++qi) {
                 uint8_t nib = (qi & 1) ? (seq[qi >> 1] & 0xf)
                                        : (seq[qi >> 1] >> 4);
-                h->seq_buf.push_back(NIB2CODE[nib]);
-                h->qual_buf.push_back(qual[qi] == 0xff ? 0 : qual[qi]);
+                sc[qi] = NIB2CODE[nib];
+                qc[qi] = qual[qi] == 0xff ? 0 : qual[qi];
             }
         }
     }

@@ -33,6 +33,9 @@ def main():
 
     cfg = ProfileConfig(output=outdir, skip_plot_generation=True,
                         skip_genome_wide=True)
+    # byte-identity test mode: EVERY host materializes the complete
+    # profile dir (production default "primary" writes only on host 0)
+    cfg.distributed_store = "all"
     cfg.variant.null_model = null_model
     profile(bam, fasta, cfg)
     print("WORKER_OK", flush=True)
