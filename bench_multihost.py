@@ -88,8 +88,17 @@ def main():
     workdir = tempfile.mkdtemp(prefix="bench_mh_")
     fasta, bam, n_pairs = bench_batch.synth(workdir)
 
-    one = run_workers(1, bam, fasta, workdir, "single")[0]
-    two = run_workers(2, bam, fasta, workdir, "dist")
+    # this host's wall times swing ~±30% run to run (shared memory bus,
+    # page cache, background load); MIN over repeats estimates the
+    # clean-machine time, the same convention every bench here uses for
+    # relay weather (CLAUDE.md)
+    repeats = int(os.environ.get("INSTRAIN_MH_REPEATS", 3))
+    ones, twos = [], []
+    for rep in range(repeats):
+        ones.append(run_workers(1, bam, fasta, workdir, f"single{rep}_")[0])
+        twos.append(run_workers(2, bam, fasta, workdir, f"dist{rep}_"))
+    one = min(ones, key=lambda w: w["steady_s"])
+    two = min(twos, key=lambda ws: max(w["steady_s"] for w in ws))
     t1 = one["steady_s"]
     t2 = max(w["steady_s"] for w in two)
 
@@ -98,8 +107,8 @@ def main():
     # the 1-host run table-for-table; host 1 writes no tables
     import pandas as pd
     from instrain_tpu.store.profile_dir import ProfileDir
-    ref = ProfileDir(os.path.join(workdir, "single0.steady0.IS"))
-    got = ProfileDir(os.path.join(workdir, "dist0.steady0.IS"))
+    ref = ProfileDir(os.path.join(workdir, "single0_0.steady0.IS"))
+    got = ProfileDir(os.path.join(workdir, "dist0_0.steady0.IS"))
     for tbl in ("raw_snp_table", "cumulative_scaffold_table",
                 "raw_linkage_table"):
         pd.testing.assert_frame_equal(
@@ -112,12 +121,12 @@ def main():
         for mm in ca[sc]:
             pd.testing.assert_series_equal(ca[sc][mm], cb[sc][mm],
                                            check_dtype=False)
-    peer = ProfileDir(os.path.join(workdir, "dist1.steady0.IS"))
+    peer = ProfileDir(os.path.join(workdir, "dist0_1.steady0.IS"))
     assert peer.get("raw_snp_table") is None, \
         "primary store policy: peer hosts must not write tables"
     speedup = t1 / t2
-    # the distributed stage alone (decode/filter replicate on every host
-    # by design: the global insert median must be identical everywhere)
+    # the profile stage alone (round 5: decode/filter shard too, so this
+    # isolates the batch-engine portion)
     p1 = one["phases"].get("profile_scaffolds", t1)
     p2 = max(w["phases"].get("profile_scaffolds", t2) for w in two)
     print(json.dumps({
@@ -127,6 +136,8 @@ def main():
         "speedup": round(speedup, 2),
         "scaffolds": S, "pairs": n_pairs,
         "t1_s": t1, "t2_s": t2,
+        "t1_all_s": [w["steady_s"] for w in ones],
+        "t2_all_s": [max(w["steady_s"] for w in ws) for ws in twos],
         "profile_stage_speedup": round(p1 / p2, 2) if p2 else None,
         "profile_stage_efficiency": round(p1 / p2 / 2, 3) if p2 else None,
         "one": one, "two": two,

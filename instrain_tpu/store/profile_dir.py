@@ -41,6 +41,30 @@ if _H5_COMP in ("none", ""):
     _H5_COMP = None
 
 
+def _special_pack(series: pd.Series) -> np.ndarray:
+    """[values, index] 2-row array (reference layout,
+    SNVprofile.py:717-748) in the NARROWEST exact dtype: readers on both
+    sides rebuild the index with .astype(int) and take values as stored,
+    so int32 / float32 storage halves the bytes hd5 writes + compresses
+    — the stream writes sit on the batch engine's critical path. Falls
+    back to the 8-byte upcast whenever a value or index would not be
+    exact in 4 bytes (positions >= 2^24 for float32 indexes)."""
+    vals = series.values
+    idx = series.index.values
+    n = len(idx)
+    if np.issubdtype(vals.dtype, np.integer):
+        if (n == 0 or (idx.max() < 2 ** 31 and idx.min() >= 0)) and \
+           (n == 0 or (vals.min() >= -2 ** 31 and vals.max() < 2 ** 31)):
+            return np.array([vals.astype(np.int32),
+                             idx.astype(np.int32)])
+        return np.array([vals, idx])
+    if vals.dtype == np.float32 and (n == 0 or
+                                     (0 <= idx.min() and
+                                      idx.max() < 2 ** 24)):
+        return np.array([vals, idx.astype(np.float32)])
+    return np.array([vals.astype(np.float64), idx.astype(np.float64)])
+
+
 class ProfileDir:
     """A profile/compare results directory (reference: SNVprofile)."""
 
@@ -207,8 +231,7 @@ class ProfileDir:
             with h5py.File(fileloc, "w") as f:
                 for scaff, mm2series in obj.items():
                     for mm, series in mm2series.items():
-                        data = np.array([series.values,
-                                         series.index.values])
+                        data = _special_pack(series)
                         # small datasets: contiguous beats chunk+filter
                         # overhead (see SpecialStreamWriter.write)
                         comp = _H5_COMP if data.size >= 8192 else None
@@ -332,7 +355,7 @@ class SpecialStreamWriter:
 
     def write(self, scaffold: str, mm2series: dict):
         for mm, series in mm2series.items():
-            data = np.array([series.values, series.index.values])
+            data = _special_pack(series)
             # compression implies chunked storage; for the many small
             # per-(scaffold, mm) datasets of a fragmented assembly the
             # chunk + filter metadata dominates the write cost, so store
