@@ -217,6 +217,12 @@ def build_parser() -> argparse.ArgumentParser:
                         "cross-sample SNV pooling")
     g.add_argument("--skip_popANI", action="store_true",
                    help="stop after coverage overlap (no SNP comparing)")
+    g.add_argument("--engine", default="auto",
+                   choices=["auto", "host", "device"],
+                   help="overlap-count engine: device = MXU all-pairs "
+                        "bit-matmul over packed coverage masks, host = "
+                        "u64 popcount (bit-identical); auto picks by "
+                        "backend and workload size")
 
     # ---- parse_annotations ----
     p = sub.add_parser(
@@ -424,7 +430,8 @@ def main(argv=None):
             ani_threshold=args.ani_threshold,
             coverage_treshold=args.coverage_treshold,
             clusterAlg=args.clusterAlg, bams=args.bams or [],
-            skip_popANI=args.skip_popANI)
+            skip_popANI=args.skip_popANI,
+            engine=getattr(args, "engine", "auto"))
         out = ProfileDir(args.output)
         setup_logger(out.get_location("log") + "log.log")
         compare(args.input, cfg)
