@@ -120,10 +120,30 @@ class PairSet:
     def scaffold_mask(self, rid: int) -> np.ndarray:
         return (self.info.ref_id == rid) & self.passed
 
+    def _rid_slice(self, rid: int):
+        """Entries of scaffold `rid` as a slice (the pair arrays are
+        rid-sorted by construction; None when a future path breaks
+        that and callers must fall back to masks)."""
+        cache = getattr(self, "_rid_sorted", None)
+        if cache is None:
+            cache = bool(np.all(np.diff(self.info.ref_id) >= 0))
+            self._rid_sorted = cache
+        if not cache:
+            return None
+        lo, hi = np.searchsorted(self.info.ref_id, [rid, rid + 1])
+        return slice(lo, hi)
+
     def r2m_for_scaffold(self, rid: int):
-        """(qname_id, mm) arrays of passing pairs on scaffold rid."""
-        m = self.scaffold_mask(rid)
-        return self.info.qname_id[m], self.mm[m]
+        """(qname_id, mm) arrays of passing pairs on scaffold rid.
+        Slice-based on the rid-sorted arrays — a full-array boolean
+        mask per scaffold cost O(n_scaffolds * n_pairs) at metagenome
+        scale."""
+        sl = self._rid_slice(rid)
+        if sl is None:
+            m = self.scaffold_mask(rid)
+            return self.info.qname_id[m], self.mm[m]
+        p = self.passed[sl]
+        return self.info.qname_id[sl][p], self.mm[sl][p]
 
     def rdic(self, skip_mm: bool = False) -> Dict[str, object]:
         """Dict view: scaffold -> {qname: mm} (or set, reference
@@ -334,20 +354,46 @@ def _mapping_info_table(all_info: PairInfo, info: PairInfo,
                         is_priority: np.ndarray, priority_ids: np.ndarray,
                         scaffold_order: List[str],
                         bam: BamArrays) -> pd.DataFrame:
-    """Build the per-scaffold + all_scaffolds report, reference order."""
+    """Build the per-scaffold + all_scaffolds report, reference order.
+
+    pair_info_from_records emits entries sorted by (ref, qname) and
+    every filter preserves order, so per-scaffold selection is a
+    searchsorted SLICE — the former boolean mask per scaffold scanned
+    the full pair arrays O(n_scaffolds) times (~1 s of the metagenome
+    filter stage on this host). Slices hold the same elements in the
+    same order as the masks, so every statistic (incl. np.mean's
+    pairwise summation) is bit-identical; a non-sorted input (never
+    produced today) falls back to masks."""
     rows = []
     rid_of = bam.name_to_ref_id
     all_priority = np.isin(all_info.qname_id, priority_ids)
+    sorted_rids = (np.all(np.diff(all_info.ref_id) >= 0) and
+                   np.all(np.diff(info.ref_id) >= 0))
+
+    def pre_of(rid):
+        if sorted_rids:
+            lo, hi = np.searchsorted(all_info.ref_id, [rid, rid + 1])
+            return slice(lo, hi), hi - lo
+        m = all_info.ref_id == rid
+        return m, int(m.sum())
+
+    def post_of(rid):
+        if sorted_rids:
+            lo, hi = np.searchsorted(info.ref_id, [rid, rid + 1])
+            return slice(lo, hi), hi - lo
+        m = info.ref_id == rid
+        return m, int(m.sum())
+
     for scaff in scaffold_order:
         rid = rid_of[scaff]
-        pre = all_info.ref_id == rid
-        post = info.ref_id == rid
+        pre, n_pre = pre_of(rid)
+        post, n_post = post_of(rid)
         row = {"scaffold": scaff}
         row["unfiltered_reads"] = int(all_info.reads[pre].sum())
         row["unfiltered_pairs"] = int((all_info.reads[pre] == 2).sum())
         row["unfiltered_singletons"] = int((all_info.reads[pre] == 1).sum())
         row["unfiltered_priority_reads"] = int(all_priority[pre].sum())
-        row["pass_pairing_filter"] = int(post.sum())
+        row["pass_pairing_filter"] = int(n_post)
         row["pass_min_read_ani"] = int(results[post, 0].sum())
         row["pass_max_insert"] = int(results[post, 1].sum())
         row["pass_min_insert"] = int(results[post, 2].sum())
@@ -357,7 +403,7 @@ def _mapping_info_table(all_info: PairInfo, info: PairInfo,
                                           (info.reads[post] == 1)).sum())
         row["filtered_priority_reads"] = int((passed[post] &
                                               is_priority[post]).sum())
-        if post.sum() > 0:
+        if n_post > 0:
             with np.errstate(divide="ignore", invalid="ignore"):
                 pid = 1.0 - info.nm[post] / info.length[post]
             row["mean_mistmaches"] = float(info.nm[post].mean())
