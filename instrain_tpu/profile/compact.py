@@ -170,29 +170,61 @@ def _bucket_caps(shape) -> Dict:
                                   "vals": max(4096, int(shape[-1]))})
 
 
-_CPU_DEV = None
+def _np_threefry2x32(k0, k1, x0, x1):
+    """Pure-numpy Threefry-2x32 (20 rounds), vectorized over uint32
+    arrays — the same permutation as kernels.sitestats._threefry2x32
+    and JAX's default PRNG (bit-identity asserted in tests)."""
+    u = np.uint32
+    k0, k1 = u(k0), u(k1)
+    x0 = np.asarray(x0, dtype=np.uint32).copy()
+    x1 = np.asarray(x1, dtype=np.uint32).copy()
+    ks2 = u(np.uint32(0x1BD11BDA) ^ k0 ^ k1)
+
+    def four(x0, x1, rots):
+        for r in rots:
+            x0 = u(x0 + x1) if np.isscalar(x0) else (x0 + x1)
+            x1 = (x1 << u(r)) | (x1 >> u(32 - r))
+            x1 = x1 ^ x0
+        return x0, x1
+
+    ra = (13, 15, 26, 6)
+    rb = (17, 29, 16, 24)
+    x0 = x0 + k0
+    x1 = x1 + k1
+    x0, x1 = four(x0, x1, ra)
+    x0 = x0 + k1
+    x1 = x1 + ks2 + u(1)
+    x0, x1 = four(x0, x1, rb)
+    x0 = x0 + ks2
+    x1 = x1 + k0 + u(2)
+    x0, x1 = four(x0, x1, ra)
+    x0 = x0 + k0
+    x1 = x1 + k1 + u(3)
+    x0, x1 = four(x0, x1, rb)
+    x0 = x0 + k1
+    x1 = x1 + ks2 + u(4)
+    x0, x1 = four(x0, x1, ra)
+    x0 = x0 + ks2
+    x1 = x1 + k0 + u(5)
+    return x0, x1
 
 
 def _fold_keys(seed: int, rids) -> np.ndarray:
-    """PRNG keys fold_in(PRNGKey(seed), rid) for many rids in ONE vmapped
-    call pinned to the host CPU backend. Threefry is
-    backend-deterministic, so the keys are bit-identical to per-scaffold
-    device fold_in — but with zero accelerator dispatches (each dispatch
-    costs a ~25 ms relay round-trip; the old per-scaffold form was one
-    dispatch per scaffold)."""
-    global _CPU_DEV
-    rids = np.asarray(list(rids), dtype=np.int64)
-    try:
-        if _CPU_DEV is None:
-            _CPU_DEV = jax.local_devices(backend="cpu")[0]
-        with jax.default_device(_CPU_DEV):
-            base = jax.random.PRNGKey(seed)
-            keys = jax.vmap(lambda r: jax.random.fold_in(base, r))(rids)
-            return np.asarray(keys)
-    except Exception:
-        base = jax.random.PRNGKey(seed)
-        return np.stack([np.asarray(jax.random.fold_in(base, int(r)))
-                         for r in rids])
+    """PRNG keys fold_in(PRNGKey(seed), rid) for many rids, computed in
+    PURE NUMPY: JAX's threefry PRNGKey(seed) is the raw
+    [seed >> 32, seed & 0xffffffff] pair and fold_in(key, d) is one
+    Threefry-2x32 application to [d >> 32, d & 0xffffffff] — both
+    replicated here bit-identically (asserted against jax.random in
+    tests). The former vmapped CPU-backend call paid a fresh XLA
+    compile per distinct rid-count (~0.8 s per batch chunk shape)."""
+    rids = np.asarray(list(rids), dtype=np.uint64)
+    s = np.uint64(np.int64(seed).astype(np.uint64))
+    k0 = np.uint32(s >> np.uint64(32))
+    k1 = np.uint32(s & np.uint64(0xFFFFFFFF))
+    x0 = (rids >> np.uint64(32)).astype(np.uint32)
+    x1 = (rids & np.uint64(0xFFFFFFFF)).astype(np.uint32)
+    o0, o1 = _np_threefry2x32(k0, k1, x0, x1)
+    return np.stack([o0, o1], axis=1).astype(np.uint32)
 
 
 def _clonR_from_sparse(sp: Dict, k, M: int, L: int) -> np.ndarray:

@@ -45,6 +45,30 @@ def _pair_templates(max_k: int = 64):
     return get
 
 
+def counted_snv_events(stats: ScaffoldStats):
+    """Counted events at SNV positions, filtered to the con/var linkage
+    bases — computed ONCE per scaffold and memoized on the stats object.
+    Both linkage capture and the read-to-SNV export need exactly this
+    extraction, and each native select_events call scans every event of
+    the scaffold (two passes measured ~3.5 s per 48-scaffold batch
+    iteration). Returns (pos, base, mm_idx, qname) arrays."""
+    ev = getattr(stats, "_snv_events", None)
+    if ev is not None:
+        return ev
+    pu = stats.pileup
+    any_snp = np.asarray(stats.any_snp)
+    if not any_snp.any():
+        ev = (np.zeros(0, np.int32), np.zeros(0, np.uint8),
+              np.zeros(0, np.int32), np.zeros(0, np.int64))
+    else:
+        pos, base, mm_idx, qname = pu.select_events(
+            any_snp.astype(np.uint8))
+        keep = stats.bases_mask[base, pos]
+        ev = (pos[keep], base[keep], mm_idx[keep], qname[keep])
+    stats._snv_events = ev
+    return ev
+
+
 def capture_read_pairs(stats: ScaffoldStats,
                        window_starts: np.ndarray) -> np.ndarray:
     """
@@ -53,15 +77,7 @@ def capture_read_pairs(stats: ScaffoldStats,
     Returns int64 array [N, 5]: (p1, p2, b1, b2, mm_idx) with p1 < p2 in
     the same window. mm_idx indexes stats.mm_values (the read pair's mm).
     """
-    pu = stats.pileup
-    any_snp = np.asarray(stats.any_snp)
-    if not any_snp.any():
-        return np.zeros((0, 5), dtype=np.int64)
-    # native extraction of counted events at SNV positions only
-    pos, base, mm_idx, qname = pu.select_events(any_snp.astype(np.uint8))
-    bmask = stats.bases_mask          # [4, L]
-    keep = bmask[base, pos]
-    pos, base, mm_idx, qname = pos[keep], base[keep], mm_idx[keep], qname[keep]
+    pos, base, mm_idx, qname = counted_snv_events(stats)
     if len(pos) == 0:
         return np.zeros((0, 5), dtype=np.int64)
 

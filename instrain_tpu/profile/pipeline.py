@@ -796,13 +796,12 @@ def _store_results(isdir: ProfileDir, finals: List[Dict], bam_path, cfg,
 def _reads_to_snvs(stats: ScaffoldStats) -> Dict[int, Dict[str, list]]:
     """mm -> qname_id -> ['pos:base'] for captured linkage reads."""
     from collections import defaultdict
+    from .linkage import counted_snv_events
     pu = stats.pileup
-    any_snp = np.asarray(stats.any_snp)
-    if not any_snp.any():
+    # shared with linkage capture (one native event scan per scaffold)
+    pos, base, mm_idx, qn = counted_snv_events(stats)
+    if len(pos) == 0:
         return {}
-    pos, base, mm_idx, qn = pu.select_events(any_snp.astype(np.uint8))
-    keep = stats.bases_mask[base, pos]
-    pos, base, mm_idx, qn = pos[keep], base[keep], mm_idx[keep], qn[keep]
     mm = pu.mm_values[mm_idx]
     out: Dict[int, Dict[str, list]] = defaultdict(lambda: defaultdict(list))
     bchar = "ACTG"

@@ -563,3 +563,20 @@ def test_snp_tables_compact_fused_equivalent(both_stats):
     snp_b, csnv_b = compact.snp_tables_compact(cs, rc)
     pd.testing.assert_frame_equal(snp_a, snp_b.reset_index(drop=True))
     pd.testing.assert_frame_equal(csnv_a, csnv_b.reset_index(drop=True))
+
+
+def test_fold_keys_matches_jax_random():
+    """The pure-numpy threefry fold_in (compact._fold_keys) must be
+    bit-identical to jax.random.fold_in(PRNGKey(seed), rid) — the
+    rarefied-draw keys feed the counter-based PRNG, so any drift would
+    silently change clonR values everywhere."""
+    import numpy as np
+    import jax
+    from instrain_tpu.profile import compact as C
+    for seed in (0, 1, 42, 2**31 - 1, 123456789):
+        rids = [0, 1, 2, 7, 63, 1000, 2**31 - 1]
+        got = C._fold_keys(seed, rids)
+        base = jax.random.PRNGKey(seed)
+        want = np.stack([np.asarray(jax.random.fold_in(base, r))
+                         for r in rids])
+        np.testing.assert_array_equal(got, want.astype(np.uint32)), seed
