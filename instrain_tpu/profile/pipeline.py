@@ -596,7 +596,34 @@ def _profile_scaffolds_batched(bam, pairs, registry, keep, cfg, null_lut,
 
     # Per-scaffold table building — and, with `stream`, the
     # covT/clonT/clonTR hd5 writes — overlaps the device loop as each
-    # launch's stats land, instead of following serially.
+    # launch's stats land, instead of following serially. The hd5
+    # writes run on their OWN thread: h5py/lzf release the GIL, so
+    # they genuinely parallel the consumer's pandas work on a second
+    # core instead of serializing behind it.
+    import threading
+    hd5_q: "queue_mod.Queue" = queue_mod.Queue()
+    hd5_err: List[BaseException] = []
+
+    def hd5_worker():
+        while True:
+            item = hd5_q.get()
+            if item is None:
+                return
+            name, views = item
+            try:
+                with _phase("hd5_stream"):
+                    for attr, writer in stream.items():
+                        writer.write(name, views[attr])
+            except BaseException as e:  # noqa: BLE001 — re-raised below
+                hd5_err.append(e)
+                return
+
+    hd5_t = None
+    if stream:
+        hd5_t = threading.Thread(target=hd5_worker, daemon=True,
+                                 name="instrain-hd5-stream")
+        hd5_t.start()
+
     def handle(i, stats):
         name, L = metas[i]
         with _phase("tables"):
@@ -604,13 +631,12 @@ def _profile_scaffolds_batched(bam, pairs, registry, keep, cfg, null_lut,
                                         gene_data)
             fin = _finalize_result(result, cfg)
         if stream:
-            with _phase("hd5_stream"):
-                for attr, writer in stream.items():
-                    # multi-host keeps the view in the payload: peer
-                    # hosts receive it over the allgather and write it
-                    # themselves
-                    writer.write(name, fin[attr] if keep_special_payload
-                                 else fin.pop(attr))
+            # multi-host keeps the view in the payload: peer hosts
+            # receive it over the allgather and write it themselves
+            views = {attr: (fin[attr] if keep_special_payload
+                            else fin.pop(attr))
+                     for attr in stream}
+            hd5_q.put((name, views))
         finals_map[i] = fin
 
     finals_map: Dict[int, Dict] = {}
@@ -624,18 +650,31 @@ def _profile_scaffolds_batched(bam, pairs, registry, keep, cfg, null_lut,
         min_cov=cfg.variant.min_cov,
         rarefied_coverage=cfg.rarefied_coverage, seed=cfg.seed,
         with_dense=True, mesh=mesh))
+    def _join_hd5():
+        if hd5_t is not None:
+            hd5_q.put(None)
+            hd5_t.join()
+            if hd5_err:
+                raise hd5_err[0]
+
     try:
         produce_pileups()
     except BaseException:
         # catastrophic producer failure: the sentinel is already queued
         # (produce_pileups' finally); drain the device thread before
         # propagating so no launch is in flight when the caller aborts
+        # (and the hd5 thread before the caller aborts its writers)
         for _ in it:
+            pass
+        try:
+            _join_hd5()
+        except BaseException:
             pass
         raise
     if not pileups:
         for _ in it:  # joins the device thread, stops the watchdog
             pass
+        _join_hd5()
         return []
     bar = tqdm(total=len(pileups), desc="Profiling scaffolds",
                disable=None)
@@ -690,6 +729,9 @@ def _profile_scaffolds_batched(bam, pairs, registry, keep, cfg, null_lut,
             logging.debug(get_worker_log("SplitProfile", name, "end"))
             bar.update()
     bar.close()
+    # all handle() calls (incl. retries) have enqueued their views; the
+    # caller closes the stream writers only after this join
+    _join_hd5()
     return [finals_map[i] for i in sorted(finals_map)]
 
 
