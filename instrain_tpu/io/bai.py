@@ -122,7 +122,9 @@ def read_bam_ref_names(bam_path: str) -> List[str]:
     record decode."""
     out: List[str] = []
     with open(bam_path, "rb") as f:
-        raw = f.read(1 << 22)  # headers are far smaller than 4 MB
+        # headers are usually < 4 MB, but a 100k-contig metagenome's
+        # reference dictionary can exceed that — read up to 64 MB
+        raw = f.read(1 << 26)
     stream = b""
     p = 0
     while p < len(raw):
