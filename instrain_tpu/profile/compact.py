@@ -728,8 +728,10 @@ def _dispatch_batch_chunk(part, Mp, Lp, use_sparse, null_lut, freq_lut,
                 snp_cap, pos_cap, rpos_cap, with_dense, min_cov,
                 rarefied_coverage)
         if watch is not None:
-            # on the synchronous relay the dispatch below blocks through
-            # h2d + kernel completion — the stall-prone window
+            # relay behavior has varied between rounds: dispatch may
+            # block through h2d + kernel completion (round-4 relay) or
+            # return immediately with the wait landing on the fetch
+            # (round-5). Either way this is the stall-prone window
             watch.enter("launch")
         t0 = time.perf_counter()
         res = site_stats_compact_batch_sparse(
@@ -1033,7 +1035,7 @@ def iter_site_stats_compact_batch(pileups, ref_codes_list, null_lut,
     """Streaming batch runner: yields (index, stats_or_None) as each
     launch's results land, with the device loop in a BACKGROUND THREAD.
 
-    The relay's device calls are synchronous but release the GIL, so the
+    The relay's device calls release the GIL while blocked, so the
     consumer's host-side work (per-scaffold table building, linkage,
     gene profiling — several seconds for 100+ scaffolds) overlaps the
     device wall time instead of following it. A worker failure is
