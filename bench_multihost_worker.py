@@ -75,6 +75,13 @@ def main():
         cfg.engine = "batch"
         pl.PHASES = fine = {}
         extra.clear()
+        if nproc > 1:
+            # align the clocks: the workers spawn staggered (serial
+            # 1 s starts) and drift through warmup, so an unaligned
+            # steady run charges the skew wait at the first collective
+            # to the measured wall
+            from jax.experimental import multihost_utils
+            multihost_utils.sync_global_devices(f"steady:{tag}")
         t0 = time.time()
         isdir = profile(bam, fasta, cfg)
         pl.PHASES = None
