@@ -580,3 +580,106 @@ def test_fold_keys_matches_jax_random():
         want = np.stack([np.asarray(jax.random.fold_in(base, r))
                          for r in rids])
         np.testing.assert_array_equal(got, want.astype(np.uint32)), seed
+
+
+def test_linkage_cum_overflow_falls_back_to_two_phase(ref_null_model):
+    """Cumulative counts above int16 range at a linkage position must
+    trip the sparse wire's cum_overflow flag and transparently fall
+    back to the two-phase int32 path with correct (un-truncated)
+    counts (kernels/sitestats.py:_pack_wire; compact._run_compact_sparse
+    returns None on overflow)."""
+    import numpy as np
+    from instrain_tpu.profile import compact as C
+    from instrain_tpu.profile.pileup import ScaffoldPileup, make_luts
+    from instrain_tpu.config import VariantConfig
+
+    L = 4096
+    counts = np.zeros((2, 4, L), np.int16)
+    # consensus-dominated background
+    counts[0, 0, :] = 10
+    # a true SNV position (morphia 2 -> linkage capture) whose
+    # CUMULATIVE A count over both mm levels exceeds 32767 while each
+    # exact-mm cell stays within int16
+    counts[0, 0, 7] = 16000
+    counts[0, 1, 7] = 16000
+    counts[1, 0, 7] = 17000
+    pu = ScaffoldPileup(name="ovf", rid=1, length=L,
+                        mm_values=np.array([0, 2]),
+                        counts=counts.astype(np.int16))
+    refs = np.zeros(L, np.uint8)
+    luts = make_luts(VariantConfig(null_model=ref_null_model))
+
+    calls = {"sparse_none": 0}
+    orig = C._run_compact_sparse
+
+    def spy(*a, **k):
+        r = orig(*a, **k)
+        if r is None:
+            calls["sparse_none"] += 1
+        return r
+
+    C._run_compact_sparse = spy
+    try:
+        cs = C.run_site_stats_compact(pu, refs, *luts)
+    finally:
+        C._run_compact_sparse = orig
+    assert calls["sparse_none"] == 1, "sparse path should have bailed"
+    # the two-phase result carries the exact int32 cumulative counts
+    v = cs.rows["valid"]
+    pos = cs.rows["pos"][v]
+    assert 7 in pos.tolist()
+    i = np.flatnonzero(pos == 7)[-1]
+    assert int(cs.rows["total"][v][i]) == 49000
+    lk_pos = cs.linkage["pos"][cs.linkage["valid"]]
+    j = np.flatnonzero(lk_pos == 7)
+    assert len(j) == 1
+    assert int(cs.linkage["cum"][:, :, cs.linkage["valid"]][1, 0, j[0]]) \
+        == 33000
+
+
+def test_int16_pileup_overflow_falls_back_to_int32(tmp_path,
+                                                   ref_null_model):
+    """Exact-mm coverage above 32767 at one cell must make the native
+    padded int16 builder bail (build_counts_padded returns None) and the
+    int32 builder take over; the engine then routes through the
+    two-phase path (the sparse wire requires int16) with exact counts."""
+    import numpy as np
+    from instrain_tpu.io.bgzf import (bam_header, bam_record, nm_tag,
+                                      write_bgzf)
+    from instrain_tpu.io.bam import decode_bam
+    from instrain_tpu.config import ReadFilterConfig, VariantConfig
+    from instrain_tpu.profile.filter_reads import filter_reads
+    from instrain_tpu.profile.pileup import (build_scaffold_pileup_padded,
+                                             make_luts)
+    from instrain_tpu.profile import compact as C
+
+    L = 400
+    seq = "A" * 60
+    qual = bytes([40]) * 60
+    cigar = [(60, "M")]
+    n_pairs = 17000  # 34000 reads stacked on pos 0..59 -> cov > 32767
+    # |tlen| >= 2*l_qseq hits the legacy overlap_push early-out, so the
+    # fully-overlapping mates are BOTH counted (io/bam.py notes)
+    parts = [bam_header([("ovf", L)])]
+    for q in range(n_pairs):
+        parts.append(bam_record(f"r{q}", 99, 0, 0, 42, cigar, 0, 0,
+                                200, seq, qual, nm_tag(0)))
+        parts.append(bam_record(f"r{q}", 147, 0, 0, 42, cigar, 0, 0,
+                                -200, seq, qual, nm_tag(0)))
+    bam_path = str(tmp_path / "ovf.bam")
+    write_bgzf(bam_path, b"".join(parts))
+
+    bam = decode_bam(bam_path)
+    pairs = filter_reads(bam, ReadFilterConfig())
+    pu = build_scaffold_pileup_padded(bam, pairs, 0, L)
+    assert pu is not None
+    assert pu.counts.dtype == np.int32, "int16 fallback did not trigger"
+    assert pu.true_M is None
+    assert int(pu.counts[:, 0, 30].sum()) == 2 * n_pairs  # both mates
+
+
+    luts = make_luts(VariantConfig(null_model=ref_null_model))
+    cs = C.run_site_stats_compact(pu, np.zeros(L, np.uint8), *luts)
+    a = cs.agg
+    assert int(a["cov_median"][0]) == 0  # mostly uncovered scaffold
+    assert int(a["nonzeros"][0]) == 60
