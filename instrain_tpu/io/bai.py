@@ -125,8 +125,35 @@ def read_bam_ref_names(bam_path: str) -> List[str]:
         # headers are usually < 4 MB, but a 100k-contig metagenome's
         # reference dictionary can exceed that — read up to 64 MB
         raw = f.read(1 << 26)
-    stream = b""
+
+    def try_parse(stream: bytes):
+        if stream[:4] != b"BAM\x01" or len(stream) < 12:
+            return None
+        try:
+            sp = 4
+            l_text = struct.unpack_from("<i", stream, sp)[0]
+            sp += 4 + l_text
+            n_ref = struct.unpack_from("<i", stream, sp)[0]
+            sp += 4
+            names = []
+            for _ in range(n_ref):
+                l_name = struct.unpack_from("<i", stream, sp)[0]
+                sp += 4
+                # a bytes slice never raises on short data: bound-check
+                # explicitly so the LAST name cannot come back truncated
+                # when it straddles a block boundary
+                if sp + l_name + 4 > len(stream):
+                    return None
+                names.append(stream[sp:sp + l_name - 1].decode())
+                sp += l_name + 4
+            return names
+        except (struct.error, IndexError, UnicodeDecodeError):
+            return None  # need more blocks
+
+    parts: List[bytes] = []
     p = 0
+    n_blocks = 0
+    next_try = 1  # parse attempts at 1, 2, 4, ... blocks: O(B log B)
     while p < len(raw):
         if raw[p:p + 2] != b"\x1f\x8b":
             break
@@ -141,27 +168,15 @@ def read_bam_ref_names(bam_path: str) -> List[str]:
             q += 4 + slen
         if bsize is None or p + bsize > len(raw):
             break
-        stream += zlib.decompress(raw[p:p + bsize], 31)
+        parts.append(zlib.decompress(raw[p:p + bsize], 31))
         p += bsize
-        # try to parse the complete reference dictionary
-        if stream[:4] != b"BAM\x01" or len(stream) < 12:
-            continue
-        try:
-            sp = 4
-            l_text = struct.unpack_from("<i", stream, sp)[0]
-            sp += 4 + l_text
-            n_ref = struct.unpack_from("<i", stream, sp)[0]
-            sp += 4
-            names = []
-            for _ in range(n_ref):
-                l_name = struct.unpack_from("<i", stream, sp)[0]
-                sp += 4
-                names.append(stream[sp:sp + l_name - 1].decode())
-                sp += l_name + 4
-            out = names
-            break
-        except (struct.error, IndexError, UnicodeDecodeError):
-            continue  # need more blocks
+        n_blocks += 1
+        if n_blocks >= next_try or p >= len(raw):
+            next_try = n_blocks * 2
+            got = try_parse(b"".join(parts))
+            if got is not None:
+                out = got
+                break
     if not out:
         raise ValueError(f"could not parse BAM header of {bam_path}")
     return out

@@ -875,12 +875,17 @@ def _finish_batch_chunk(rec, results, min_cov, with_dense, emit=None,
 
 
 def _bucket_of(pu):
+    """Chunking bucket: padded shape PLUS wire dtype — an int32-fallback
+    scaffold (deep-coverage int16 overflow) must never share a chunk
+    with int16 scaffolds, whose sparse-wire chunk size is ~50x larger
+    than the dense formula allows (a mixed chunk would either blow the
+    launch byte bound or shrink every later sparse launch)."""
     if pu.true_M is not None:
         Mp, _, Lp = pu.counts.shape
     else:
         M, _, L = pu.counts.shape
         Mp, Lp = max(_bucket(M, 8), 8), max(_bucket(L, 4096), 4096)
-    return Mp, Lp
+    return Mp, Lp, pu.counts.dtype == np.int16
 
 
 def _chunk_base(Mp: int, Lp: int, is16: bool, with_dense: bool,
@@ -963,18 +968,17 @@ def run_site_stats_compact_stream(items_iter, null_lut, freq_lut,
         lst.append((i, pu, rc))
         if key not in base_of:
             base_of[key] = _chunk_base(
-                key[0], key[1], pu.counts.dtype == np.int16, with_dense,
-                max_chunk_bytes)
+                key[0], key[1], key[2], with_dense, max_chunk_bytes)
         if len(lst) >= base_of[key]:
             open_items[key] = []
             dispatch(lst, key[0], key[1], pad_to=len(lst))
 
     # leftovers: same pow2 decomposition as the planner (mid chunks of
     # descending pow2 sizes, final tail padded up to the next pow2)
-    for (Mp, Lp), items in open_items.items():
+    for (Mp, Lp, is16), items in open_items.items():
         c0, n = 0, len(items)
         while c0 < n:
-            take = base_of[(Mp, Lp)]
+            take = base_of[(Mp, Lp, is16)]
             while take > n - c0:
                 take >>= 1
             if take < n - c0:

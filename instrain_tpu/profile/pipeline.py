@@ -605,6 +605,7 @@ def _profile_scaffolds_batched(bam, pairs, registry, keep, cfg, null_lut,
     hd5_err: List[BaseException] = []
 
     def hd5_worker():
+        from ..obs.logging import log_failure
         while True:
             item = hd5_q.get()
             if item is None:
@@ -614,6 +615,12 @@ def _profile_scaffolds_batched(bam, pairs, registry, keep, cfg, null_lut,
                 with _phase("hd5_stream"):
                     for attr, writer in stream.items():
                         writer.write(name, views[attr])
+            except Exception as e:
+                # PER-SCAFFOLD containment, same as when these writes
+                # ran inline in handle(): one bad write costs that
+                # scaffold's special datasets, never the run
+                log_failure("SpecialWriteError", name, str(e))
+                logging.error(f"hd5 stream write failed for {name}: {e}")
             except BaseException as e:  # noqa: BLE001 — re-raised below
                 hd5_err.append(e)
                 return
@@ -868,30 +875,59 @@ def _plan_sharded_decode(bam_path, registry, cfg):
       - maximum_reads subsampling (the kept-template hash set must span
         the whole BAM)
       - no .bai index
-    The plan is a pure function of the BAM + config, so every host
-    computes the identical assignment — collective order stays aligned.
+    The plan is a pure function of the BAM + config, and a digest
+    allgather (always executed in the multi-host path, so collective
+    order stays aligned) verifies every host computed the same one —
+    a host-local failure (transient I/O, differing file view) downgrades
+    ALL hosts to the replicated path together instead of
+    desynchronizing the later collectives.
     """
-    if cfg.filter.pairing_filter != "paired_only":
-        return None
-    if cfg.detailed_mapping_info or cfg.filter.maximum_reads:
-        return None
-    from ..io.bai import find_bai, read_bam_ref_names, read_ref_extents
-    bai = find_bai(bam_path)
-    if bai is None:
-        return None
-    try:
-        extents = read_ref_extents(bai)
-        names = read_bam_ref_names(bam_path)
-    except Exception as e:
-        logging.info(f"sharded decode unavailable ({e}); replicating")
-        return None
+    import hashlib
+
     import jax
-    name_set = set(registry.names)
-    weights = {n: int(extents[i]) if i < len(extents) else 0
-               for i, n in enumerate(names) if n in name_set}
-    if not weights:
+
+    weights = None
+    if (cfg.filter.pairing_filter == "paired_only" and
+            not cfg.detailed_mapping_info and
+            not cfg.filter.maximum_reads):
+        from ..io.bai import (find_bai, read_bam_ref_names,
+                              read_ref_extents)
+        bai = find_bai(bam_path)
+        if bai is not None:
+            try:
+                extents = read_ref_extents(bai)
+                names = read_bam_ref_names(bam_path)
+                name_set = set(registry.names)
+                weights = {n: (int(extents[i]) if i < len(extents)
+                               else 0)
+                           for i, n in enumerate(names) if n in name_set}
+                if not weights:
+                    weights = None
+            except Exception as e:
+                logging.info(f"sharded decode unavailable ({e}); "
+                             f"replicating")
+                weights = None
+
+    # COLLECTIVE agreement: the plan must be identical on every host or
+    # the later collectives desynchronize (one host on the replicated
+    # path while peers run the distributed filter's allgathers). One
+    # tiny fixed-position allgather compares a digest of each host's
+    # plan; any mismatch or failure makes EVERY host replicate.
+    from ..parallel.distributed import (allgather_tables,
+                                        assign_scaffolds_to_hosts)
+    if weights is None:
+        digest = ""
+    else:
+        h = hashlib.sha256()
+        for n in sorted(weights):
+            h.update(f"{n}\0{weights[n]}\n".encode())
+        digest = h.hexdigest()
+    digests = allgather_tables([digest])
+    if not digest or any(d != digest for d in digests):
+        if digest:
+            logging.info("sharded-decode plans differ across hosts; "
+                         "replicating decode+filter everywhere")
         return None
-    from ..parallel.distributed import assign_scaffolds_to_hosts
     bins = assign_scaffolds_to_hosts(weights, jax.process_count())
     return bins[jax.process_index()]
 
