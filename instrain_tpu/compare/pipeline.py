@@ -117,6 +117,7 @@ def compare(inputs: List[str], cfg: CompareConfig,
         from tqdm import tqdm
         for gi, grp in enumerate(groups):
             logging.info(f"Running group {gi + 1} of {len(groups)}")
+            _preload_group_covt(grp)
             for sc in tqdm(grp, desc="Comparing scaffolds", disable=None):
                 try:
                     cdb, mdb, p2o = compare_scaffold(sc, null_lut,
@@ -128,7 +129,8 @@ def compare(inputs: List[str], cfg: CompareConfig,
                         scaff2pair2mm2overlap[sc.scaffold] = p2o
                 except Exception as e:
                     log_failure("CompareScaffold", sc.scaffold, str(e))
-            _SNP_CACHE.clear()  # purge per-group cache
+            _SNP_CACHE.clear()  # purge per-group caches
+            _COVT_CACHE.clear()
     log_checkpoint("Compare", "multiprocessing", "end")
 
     comparison_db = (pd.concat(cdbs, sort=False).reset_index(drop=True)
@@ -256,11 +258,39 @@ def make_comparison_objects(inputs, profiles, names, scaffolds_to_compare,
 
 
 _SNP_CACHE: Dict[str, Dict[str, pd.DataFrame]] = {}
+# per-group covT bulk cache: profile location -> scaffold -> mm -> Series
+_COVT_CACHE: Dict[str, Dict] = {}
+
+
+def _preload_group_covt(grp):
+    """Bulk-load each profile's covT for a comparison group in ONE hd5
+    pass per profile (reference: SCgroup.load_cache,
+    compare_controller.py:520-585). The former per-(profile, scaffold)
+    prof.get('covT', scaffolds=[s]) opened the file and scanned every
+    dataset key once per scaffold — O(n_scaffolds * n_samples) opens and
+    O(total_keys) scans each, quadratic at metagenome scale. Purged with
+    the group (bounds RAM like the reference's cache purge)."""
+    want: Dict[str, set] = {}
+    profs = {}
+    for sc in grp:
+        for prof in sc.profiles:
+            want.setdefault(prof.location, set()).add(sc.scaffold)
+            profs[prof.location] = prof
+    for loc, scaffolds in want.items():
+        cached = _COVT_CACHE.setdefault(loc, {})
+        missing = [s for s in scaffolds if s not in cached]
+        if missing:
+            cached.update(profs[loc].get("covT", scaffolds=missing)
+                          or {})
 
 
 def _load_scaffold_data(prof: ProfileDir, scaffold: str
                         ) -> SampleScaffoldData:
-    covT = prof.get("covT", scaffolds=[scaffold]).get(scaffold, {})
+    cache = _COVT_CACHE.get(prof.location)
+    if cache is not None and scaffold in cache:
+        covT = cache[scaffold]
+    else:
+        covT = prof.get("covT", scaffolds=[scaffold]).get(scaffold, {})
     key = prof.location
     if key not in _SNP_CACHE:
         db = prof.get("cumulative_snv_table")
