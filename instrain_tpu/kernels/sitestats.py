@@ -375,18 +375,6 @@ def _ffill_expand(vals_list, set_mask, fills):
     return outs, have
 
 
-def _masked_median(sorted_vals, count):
-    """Median of the first `count` entries of an ascending-sorted row
-    (matching np.median: mean of the two middle values)."""
-    n = sorted_vals.shape[-1]
-    c = jnp.maximum(count, 1)
-    i1 = jnp.clip((c - 1) // 2, 0, n - 1)
-    i2 = jnp.clip(c // 2, 0, n - 1)
-    v1 = jnp.take_along_axis(sorted_vals, i1[:, None], axis=-1)[:, 0]
-    v2 = jnp.take_along_axis(sorted_vals, i2[:, None], axis=-1)[:, 0]
-    med = (v1 + v2) / 2.0
-    return jnp.where(count > 0, med, jnp.nan)
-
 
 def _median_select(vals_f32, count):
     """Exact masked median without sorting: vals [R, L] float32 with

@@ -227,6 +227,18 @@ def _fold_keys(seed: int, rids) -> np.ndarray:
     return np.stack([o0, o1], axis=1).astype(np.uint32)
 
 
+def _unpack_wire_masks(masks: Dict, Lp: int) -> Dict:
+    """Host-side unpack of the wire's bit-packed position masks — the
+    single inverse of kernels.sitestats._pack_wire, shared by the
+    single-scaffold and batch consumers so a wire-format change cannot
+    silently diverge between them."""
+    return dict(
+        cryptic=np.unpackbits(masks["cryptic"])[:Lp].astype(bool),
+        any_snp=np.unpackbits(masks["any_snp"])[:Lp].astype(bool),
+        bases_mask=np.unpackbits(masks["bases_mask"],
+                                 axis=-1)[:, :Lp].astype(bool))
+
+
 def _clonR_from_sparse(sp: Dict, k, M: int, L: int) -> np.ndarray:
     """Reconstruct the dense [M, L] rarefied-clonality array from the
     wire's sparse (pos, vals) slice — NaN everywhere no mm level reached
@@ -247,8 +259,12 @@ def _pack_sparse(counts: np.ndarray, caps: Dict):
     """Sparse-pack one int16 count tensor (delta-encoded d16 wire) with
     the bucket's speculative vals/corr capacities, re-packing with
     raised (pow2 high-water) capacities on overflow — known at pack
-    time, before any kernel launch, so no kernel run is ever wasted."""
+    time, before any kernel launch, so no kernel run is ever wasted.
+    Returns None when the need exceeds the capacity ceiling (the wire
+    would beat the dense tensor at that density anyway) — the caller
+    falls back to the two-phase path."""
     from ..io.bam import pack_counts_sparse_d16_into
+    hi = 1 << 28
     while True:
         V, C = caps["vals"], caps["corr"]
         d16 = np.zeros(V, np.uint16)
@@ -258,10 +274,13 @@ def _pack_sparse(counts: np.ndarray, caps: Dict):
         nnz, nc = pack_counts_sparse_d16_into(counts, d16, vals, ci, cv)
         if nnz <= V and nc <= C:
             return d16, vals, ci, cv
+        before = (V, C)
         if nnz > V:
-            caps["vals"] = _pow2_capacity(nnz, lo=4096)
+            caps["vals"] = max(V, _pow2_capacity(nnz, lo=4096, hi=hi))
         if nc > C:
-            caps["corr"] = _pow2_capacity(nc, lo=64)
+            caps["corr"] = max(C, _pow2_capacity(nc, lo=64, hi=hi))
+        if (caps["vals"], caps["corr"]) == before:
+            return None  # capacity ceiling: re-packing cannot help
 
 
 def _run_compact_sparse(counts: np.ndarray, ref_codes: np.ndarray, L: int,
@@ -279,8 +298,11 @@ def _run_compact_sparse(counts: np.ndarray, ref_codes: np.ndarray, L: int,
         return None
     caps = _bucket_caps(counts.shape)
     t0 = time.perf_counter()
-    d16, vals, cidx, cval = _pack_sparse(counts, caps)
+    packed = _pack_sparse(counts, caps)
     _t_add("pack", time.perf_counter() - t0)
+    if packed is None:
+        return None
+    d16, vals, cidx, cval = packed
     from ..kernels.sitestats import unpack_wire
     if TIMINGS is not None:
         # explicit, synchronized h2d so the benchmark can separate the
@@ -330,12 +352,7 @@ def _run_compact_sparse(counts: np.ndarray, ref_codes: np.ndarray, L: int,
         if (n_rows <= caps["snp"] and n_pos <= caps["pos"] and
                 n_rar <= caps["rpos"]):
             Lp = counts.shape[-1]
-            m = out["masks"]
-            out["masks"] = dict(
-                cryptic=np.unpackbits(m["cryptic"])[:Lp].astype(bool),
-                any_snp=np.unpackbits(m["any_snp"])[:Lp].astype(bool),
-                bases_mask=np.unpackbits(
-                    m["bases_mask"], axis=-1)[:, :Lp].astype(bool))
+            out["masks"] = _unpack_wire_masks(out["masks"], Lp)
             out["linkage"]["cum"] = out["linkage"]["cum"].astype(np.int32)
             if sp is not None:
                 out["dense"] = dict(clonR=_clonR_from_sparse(
@@ -643,6 +660,7 @@ def _pack_sparse_chunk(part, Mp: int, Lp: int, caps: Dict, Sp0: int):
         tmp[:M, :, :L] = ce
         return tmp
 
+    hi = 1 << 28
     while True:
         V, C = caps["vals"], caps["corr"]
         d16 = np.zeros((Sp0, V), np.uint16)
@@ -657,10 +675,16 @@ def _pack_sparse_chunk(part, Mp: int, Lp: int, caps: Dict, Sp0: int):
             need_c = max(need_c, nc)
         if need_v <= V and need_c <= C:
             return d16, vals, ci, cv
+        before = (V, C)
         if need_v > V:
-            caps["vals"] = _pow2_capacity(need_v, lo=4096)
+            caps["vals"] = max(V, _pow2_capacity(need_v, lo=4096, hi=hi))
         if need_c > C:
-            caps["corr"] = _pow2_capacity(need_c, lo=64)
+            caps["corr"] = max(C, _pow2_capacity(need_c, lo=64, hi=hi))
+        if (caps["vals"], caps["corr"]) == before:
+            # capacity ceiling: contained by the engine-exception path,
+            # whose per-scaffold retry right-sizes or goes dense
+            raise RuntimeError(
+                f"sparse wire capacity ceiling (need {need_v}/{need_c})")
 
 
 def _dispatch_batch_chunk(part, Mp, Lp, use_sparse, null_lut, freq_lut,
@@ -825,12 +849,7 @@ def _finish_batch_chunk(rec, results, min_cov, with_dense, emit=None,
         cs.linkage = sliced["linkage"]
         cs.masks = sliced["masks"]
         if wire_sp:
-            m = cs.masks
-            cs.masks = dict(
-                cryptic=np.unpackbits(m["cryptic"])[:Lp].astype(bool),
-                any_snp=np.unpackbits(m["any_snp"])[:Lp].astype(bool),
-                bases_mask=np.unpackbits(m["bases_mask"], axis=-1)
-                [:, :Lp].astype(bool))
+            cs.masks = _unpack_wire_masks(cs.masks, Lp)
             cs.linkage["cum"] = cs.linkage["cum"].astype(np.int32)
         if with_dense:
             if wire_sp:

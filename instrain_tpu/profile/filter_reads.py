@@ -349,6 +349,24 @@ _MEAN_COLS = ["mean_mistmaches", "mean_insert_distance", "mean_mapq_score",
               "mean_pair_length", "mean_PID", "median_insert"]
 
 
+def _all_scaffolds_row(sdb: pd.DataFrame) -> dict:
+    """The weighted aggregate row over the complete per-scaffold table
+    (reference: filter_reads.py:277-298) — shared by the single-process
+    and distributed report builders so the multi-host byte-identity
+    guarantee cannot drift."""
+    arow = {"scaffold": "all_scaffolds"}
+    cdb = sdb[sdb["pass_pairing_filter"] > 0]
+    total = cdb["pass_pairing_filter"].sum()
+    for c in _TALLY_COLS:
+        arow[c] = int(cdb[c].sum()) if len(cdb) else 0
+    for c in _MEAN_COLS:
+        arow[c] = (float((cdb[c] * cdb["pass_pairing_filter"]).sum() /
+                         total) if total > 0 else np.nan)
+    return arow
+
+
+
+
 def _mapping_info_table(all_info: PairInfo, info: PairInfo,
                         results: np.ndarray, passed: np.ndarray,
                         is_priority: np.ndarray, priority_ids: np.ndarray,
@@ -418,19 +436,7 @@ def _mapping_info_table(all_info: PairInfo, info: PairInfo,
         rows.append(row)
 
     sdb = pd.DataFrame(rows)
-    # all_scaffolds aggregate row, weighted by pass_pairing_filter
-    # (reference: filter_reads.py:277-298)
-    arow = {"scaffold": "all_scaffolds"}
-    cdb = sdb[sdb["pass_pairing_filter"] > 0]
-    total = cdb["pass_pairing_filter"].sum()
-    for c in _TALLY_COLS:
-        arow[c] = int(cdb[c].sum()) if len(cdb) else 0
-    for c in _MEAN_COLS:
-        if total > 0:
-            arow[c] = float((cdb[c] * cdb["pass_pairing_filter"]).sum() / total)
-        else:
-            arow[c] = np.nan
-    adb = pd.DataFrame([arow])
+    adb = pd.DataFrame([_all_scaffolds_row(sdb)])
     out = pd.concat([adb, sdb]).reset_index(drop=True)
     return out[["scaffold"] + _TALLY_COLS + _MEAN_COLS]
 
@@ -536,17 +542,8 @@ def filter_reads_distributed(bam: BamArrays, cfg: ReadFilterConfig,
     sdb = sdb.sort_values("scaffold",
                           key=lambda c: c.map(order_ix)).reset_index(
                               drop=True)
-    # all_scaffolds weighted row over the COMPLETE table
-    # (reference: filter_reads.py:277-298)
-    arow = {"scaffold": "all_scaffolds"}
-    cdb = sdb[sdb["pass_pairing_filter"] > 0]
-    total = cdb["pass_pairing_filter"].sum()
-    for c in _TALLY_COLS:
-        arow[c] = int(cdb[c].sum()) if len(cdb) else 0
-    for c in _MEAN_COLS:
-        arow[c] = (float((cdb[c] * cdb["pass_pairing_filter"]).sum() /
-                         total) if total > 0 else np.nan)
-    table = pd.concat([pd.DataFrame([arow]), sdb]).reset_index(drop=True)
+    table = pd.concat([pd.DataFrame([_all_scaffolds_row(sdb)]),
+                       sdb]).reset_index(drop=True)
     table = table[["scaffold"] + _TALLY_COLS + _MEAN_COLS]
 
     merged: Dict[str, object] = {}

@@ -21,8 +21,10 @@ from ..store import generate as gen
 from ..store.profile_dir import ProfileDir
 
 
-def estimate_breadth(coverage):
-    return (-1) * np.exp(-1 * (0.883 * np.asarray(coverage))) + 1
+# breadth model shared with the scaffold-level tables (identical
+# float-op order; a drifted copy would desynchronize scaffold_info from
+# genome_info)
+from .tables import estimate_breadth  # noqa: E402
 
 
 def genome_wide(isdir: ProfileDir, stb: Optional[List[str]] = None,

@@ -257,7 +257,11 @@ def _calculate_linkage_device(stats, pairs, e_idx, E, M, p1, p2, min_snp,
         out[:E, :M] = a
         return out
 
-    key = jax.random.fold_in(jax.random.PRNGKey(seed), stats.pileup.rid)
+    # host-computed threefry key (bit-identical to device fold_in;
+    # compact._fold_keys): a per-scaffold device fold_in costs ~2 relay
+    # dispatches (~50 ms) on the accelerator backend this path runs on
+    from .compact import _fold_keys
+    key = _fold_keys(seed, [stats.pileup.rid])[0]
     out = jax.device_get(ld_device(
         ei, mi, cb, np.int64(n),
         padEM(c1.astype(np.int32)), padEM(c2.astype(np.int32)),

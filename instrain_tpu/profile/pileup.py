@@ -208,7 +208,10 @@ def run_site_stats(pileup: ScaffoldPileup, ref_codes: np.ndarray,
             rp = np.full(Lp, 4, dtype=ref_codes.dtype)
             rp[:L] = ref_codes
             counts, ref_codes = cp, rp
-    key = jax.random.fold_in(jax.random.PRNGKey(seed), pileup.rid)
+    # host-computed threefry key, bit-identical to device fold_in
+    # (compact._fold_keys; avoids ~2 relay dispatches per scaffold)
+    from .compact import _fold_keys
+    key = _fold_keys(seed, [pileup.rid])[0]
     if kernel == "pallas":
         # Pallas core + XLA remainder; interpret mode on CPU backends
         # (Mosaic compiles for TPU only)

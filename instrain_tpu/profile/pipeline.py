@@ -290,6 +290,11 @@ def _profile_impl(bam_path: str, fasta_path: str, cfg: ProfileConfig,
             raise
         rt.join()
         if reads_err:
+            # the read-store failure aborts the run: close out the
+            # still-open special writers instead of leaking unflushed
+            # h5py handles (every other failure path aborts them too)
+            for w in stream.values():
+                w.abort()
             raise reads_err[0]
         if not multi_host:
             for w in stream.values():
@@ -457,8 +462,10 @@ def _profile_one_scaffold_inner(bam, pairs, registry, name, cfg, null_lut,
     if pileup is None:
         return None
     if cfg.skip_mm_profiling:
-        # collapse the mm axis: every pair counts at level 0
-        pileup.counts = pileup.counts.sum(axis=0, keepdims=True)
+        # collapse the mm axis: every pair counts at level 0 (explicit
+        # int32: numpy's sum would upcast to int64 and double h2d bytes)
+        pileup.counts = pileup.counts.sum(axis=0, keepdims=True,
+                                          dtype=np.int32)
         pileup.mm_values = np.array([0])
         pileup.qid2mmidx = np.where(pileup.qid2mmidx >= 0, 0,
                                     -1).astype(np.int32)
@@ -558,8 +565,12 @@ def _profile_scaffolds_batched(bam, pairs, registry, keep, cfg, null_lut,
     # reference's split workers likewise stream into merge workers,
     # profile_controller.py:157-193). The relay's device calls release
     # the GIL, so builds overlap launches.
+    from .pileup import _bucket
+
     in_q: "queue_mod.Queue" = queue_mod.Queue()
     pileups, codes, metas = [], [], []
+    dense_idx: set = set()   # oversized scaffolds: position-chunked path
+    mesh_n = mesh.devices.size if mesh is not None else 1
 
     def produce_pileups():
         try:
@@ -570,8 +581,19 @@ def _profile_scaffolds_batched(bam, pairs, registry, keep, cfg, null_lut,
                 if rid is None:
                     continue
                 L = registry.length_of(name)
+                # very long scaffolds exceed the one-launch device
+                # working set: divert to the position-chunked dense
+                # path instead of force-feeding the batch/hybrid
+                # kernels (same guard as _profile_one_scaffold_inner)
+                oversize = False
+                if not cfg.skip_mm_profiling:
+                    qids_, mms_ = pairs.r2m_for_scaffold(rid)
+                    n_mm = len(np.unique(mms_)) if len(qids_) else 0
+                    Mp_est = max(_bucket(max(n_mm, 1), 8), 8)
+                    Lp_est = max(_bucket(L, 4096), 4096)
+                    oversize = Mp_est * Lp_est > (1 << 27) * mesh_n
                 try:
-                    if cfg.skip_mm_profiling:
+                    if cfg.skip_mm_profiling or oversize:
                         pu = build_scaffold_pileup(bam, pairs, rid, L)
                     else:
                         pu = build_scaffold_pileup_padded(bam, pairs,
@@ -582,7 +604,8 @@ def _profile_scaffolds_batched(bam, pairs, registry, keep, cfg, null_lut,
                 if pu is None:
                     continue
                 if cfg.skip_mm_profiling:
-                    pu.counts = pu.counts.sum(axis=0, keepdims=True)
+                    pu.counts = pu.counts.sum(axis=0, keepdims=True,
+                                              dtype=np.int32)
                     pu.mm_values = np.array([0])
                     pu.qid2mmidx = np.where(pu.qid2mmidx >= 0, 0,
                                             -1).astype(np.int32)
@@ -590,7 +613,10 @@ def _profile_scaffolds_batched(bam, pairs, registry, keep, cfg, null_lut,
                 pileups.append(pu)
                 codes.append(registry.codes[name])
                 metas.append((name, L))
-                in_q.put((i, pu, registry.codes[name]))
+                if oversize:
+                    dense_idx.add(i)   # handled in the retry phase
+                else:
+                    in_q.put((i, pu, registry.codes[name]))
         finally:
             in_q.put(None)  # end-of-input sentinel, even on failure
 
@@ -716,19 +742,31 @@ def _profile_scaffolds_batched(bam, pairs, registry, keep, cfg, null_lut,
         log_failure("EngineException", "batch_engine", str(e))
         logging.error(f"batch engine failed ({e}); retrying every "
                       f"scaffold on the per-scaffold path")
-        retry_idx.extend(i for i in range(len(pileups)) if i not in seen)
+        retry_idx.extend(i for i in range(len(pileups))
+                         if i not in seen and i not in dense_idx)
 
-    # per-scaffold retries run AFTER the device thread has finished —
-    # never two concurrent relay users
+    # per-scaffold retries (and the diverted oversized scaffolds) run
+    # AFTER the device thread has finished — never two concurrent relay
+    # users
+    retry_idx.extend(sorted(dense_idx))
     with _phase("retry"):
         for i in retry_idx:
             name = metas[i][0]
             try:
-                stats = compact_mod.run_site_stats_hybrid(
-                    pileups[i], codes[i], null_lut, freq_lut,
-                    min_cov=cfg.variant.min_cov,
-                    rarefied_coverage=cfg.rarefied_coverage,
-                    seed=cfg.seed, mesh=mesh)
+                if i in dense_idx:
+                    # position-chunked dense path: the whole [M, 4, L]
+                    # working set never has to fit on device at once
+                    stats = run_site_stats(
+                        pileups[i], codes[i], null_lut, freq_lut,
+                        min_cov=cfg.variant.min_cov,
+                        rarefied_coverage=cfg.rarefied_coverage,
+                        seed=cfg.seed)
+                else:
+                    stats = compact_mod.run_site_stats_hybrid(
+                        pileups[i], codes[i], null_lut, freq_lut,
+                        min_cov=cfg.variant.min_cov,
+                        rarefied_coverage=cfg.rarefied_coverage,
+                        seed=cfg.seed, mesh=mesh)
                 handle(i, stats)
             except Exception as e:
                 log_failure("SplitException", name, str(e))

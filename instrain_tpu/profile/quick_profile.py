@@ -54,10 +54,26 @@ def quick_profile(bam_path: str, fasta_path: str,
         recs = np.nonzero((bam.ref_id == rid) & primary)[0]
         if len(recs) == 0:
             continue
-        cov = np.zeros(L, dtype=np.int64)
-        for r in recs:
-            e0, el = bam.ev_off[r], bam.ev_len[r]
-            np.add.at(cov, bam.ev_pos[e0:e0 + el], 1)
+        # bulk event gather + one bincount per scaffold: a per-record
+        # np.add.at loop issues millions of tiny throttled-host calls
+        # on a big BAM (CLAUDE.md: bulk per-event work must not be
+        # per-record numpy)
+        starts = bam.ev_off[recs].astype(np.int64)
+        lens = bam.ev_len[recs].astype(np.int64)
+        total = int(lens.sum())
+        if total == 0:
+            rows.append({"Contig": name, "Mean": 0.0, "Covered Bases": 0,
+                         "Length": L, "Read Count": len(recs)})
+            continue
+        ends = starts + lens
+        if total == int(ends[-1] - starts[0]):
+            evp = bam.ev_pos[starts[0]:ends[-1]]   # contiguous: no copy
+        else:
+            offs = np.repeat(
+                starts - np.concatenate(([0], np.cumsum(lens)[:-1])),
+                lens)
+            evp = bam.ev_pos[offs + np.arange(total, dtype=np.int64)]
+        cov = np.bincount(evp, minlength=L)
         covered = int((cov > 0).sum())
         rows.append({"Contig": name, "Mean": cov.sum() / L,
                      "Covered Bases": covered, "Length": L,
