@@ -33,8 +33,7 @@ def main():
     from instrain_tpu.store import generate as gen
     from instrain_tpu.store.profile_dir import ProfileDir
 
-    n_records = decode_bam(args.bam, baq=False, tweak_overlaps=False,
-                           load_qnames=False).n_records
+    n_records = decode_bam(args.bam, baq=False, tweak_overlaps=False).n_records
     os.makedirs(args.output, exist_ok=True)
     rows = []
     for frac in sorted(args.subsets):

@@ -76,6 +76,11 @@ def compare(inputs: List[str], cfg: CompareConfig,
         scaffolds_to_compare = ((scaffolds_to_compare or set()) |
                                 set(stb.keys()))
     input2scaffolds = None
+    if (cfg.database_mode or cfg.genome is not None) and stb is None:
+        # a clear error instead of AttributeError deep in the stb walk
+        raise ValueError(
+            "--database_mode and --genome require a scaffold-to-bin "
+            "file (-s/--stb)")
     if cfg.database_mode:
         input2scaffolds = {}
         bin2scaffolds = defaultdict(list)
@@ -128,7 +133,10 @@ def compare(inputs: List[str], cfg: CompareConfig,
                     if scaff2pair2mm2overlap is not None and p2o:
                         scaff2pair2mm2overlap[sc.scaffold] = p2o
                 except Exception as e:
-                    log_failure("CompareScaffold", sc.scaffold, str(e))
+                    # 'CompareException' is the failure class the run
+                    # report grammar knows (obs/logging.py _FAILURE_TEXT;
+                    # reference logUtils.py:707-767)
+                    log_failure("CompareException", sc.scaffold, str(e))
             _SNP_CACHE.clear()  # purge per-group caches
             _COVT_CACHE.clear()
     log_checkpoint("Compare", "multiprocessing", "end")
@@ -181,6 +189,10 @@ def compare(inputs: List[str], cfg: CompareConfig,
     # pooling
     if cfg.bams:
         from .pooling import run_pooling
+        if len(cfg.bams) != len(names):
+            raise ValueError(
+                f"-b/--bams got {len(cfg.bams)} BAMs for {len(names)} "
+                f"input profiles; they must pair up 1:1 in order")
         name2bam = dict(zip(names, cfg.bams))
         dst, pmdb = run_pooling(SCs, name2bam, null_lut, freq_lut)
         out.store("DSTdb", dst, "pickle", "Dense SNV table (from pooling)")

@@ -103,22 +103,30 @@ def extract_snvs_from_bam(bam_loc: str, rdic, scaff2locs
             continue
         rid = name_to_rid[scaff]
         r2m = rdic.get(scaff, {}) if rdic else {}
-        if isinstance(r2m, dict):
-            allowed = {qname_to_id[q] for q in r2m if q in qname_to_id}
-        else:
-            allowed = {qname_to_id[q] for q in r2m if q in qname_to_id}
-        recs = np.nonzero(bam.ref_id == rid)[0]
-        pos_set = {int(p) for p in locs}
-        for r in recs:
-            if int(bam.qname_id[r]) not in allowed:
-                continue
-            e0, el = bam.ev_off[r], bam.ev_len[r]
-            pos = bam.ev_pos[e0:e0 + el]
-            base = bam.ev_base[e0:e0 + el]
-            qual = bam.ev_qual[e0:e0 + el]
-            for p, b, q in zip(pos.tolist(), base.tolist(), qual.tolist()):
-                if q >= 30 and b < 4 and p in pos_set:
-                    out[scaff][p][b] += 1
+        # r2m is {qname: mm} or a set of qnames (skip_mm profiles) —
+        # either way iteration yields the allowed qnames
+        allowed = [qname_to_id[q] for q in r2m if q in qname_to_id]
+        if not allowed:
+            continue
+        # native masked event selection (bd_select_events): same
+        # qual>=30 / ACTG / position-mask / allowed-pair semantics as
+        # the profile pileup, without a per-event Python loop (bulk
+        # per-event work must not run in the interpreter on this
+        # throttled host)
+        n_q = bam.n_qnames or int(bam.qname_id.max()) + 1
+        qid2mmidx = np.full(n_q, -1, dtype=np.int32)
+        qid2mmidx[np.asarray(allowed, dtype=np.int64)] = 0
+        L = int(bam.ref_lens[rid])
+        mask = np.zeros(L, np.uint8)
+        locs_arr = np.fromiter((int(p) for p in locs), dtype=np.int64,
+                               count=len(locs))
+        mask[locs_arr[(locs_arr >= 0) & (locs_arr < L)]] = 1
+        pos, base, _mm, _qn = bam.select_events(rid, qid2mmidx, mask)
+        if len(pos):
+            key = pos.astype(np.int64) * 4 + base
+            uniq, cnt = np.unique(key, return_counts=True)
+            for k, c in zip(uniq.tolist(), cnt.tolist()):
+                out[scaff][k // 4][k % 4] += c
     return out
 
 

@@ -313,7 +313,6 @@ def decode_bam(path: str, ref_seqs: Optional[Dict[str, np.ndarray]] = None,
                tweak_overlaps: bool = True,
                tweak_orphans: bool = False,
                tweak_legacy_walk: bool = True,
-               load_qnames: bool = True,
                scaffolds: Optional[List[str]] = None) -> BamArrays:
     """
     Decode a BAM file.

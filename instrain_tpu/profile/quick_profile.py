@@ -44,7 +44,7 @@ def quick_profile(bam_path: str, fasta_path: str,
     # contig metrics from the decoder (mean / covered bases / read count,
     # matching coverm contig -m mean covered_bases length count)
     bam = decode_bam(bam_path, baq=False, tweak_overlaps=False,
-                     threads=threads, load_qnames=False)
+                     threads=threads)
     rows = []
     primary = (bam.flag & 0x904) == 0  # mapped, primary, non-supplementary
     for rid, name in enumerate(bam.ref_names):

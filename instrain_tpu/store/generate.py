@@ -194,11 +194,9 @@ def generate(isdir: ProfileDir, name: str, store: bool = True,
             location = isdir.get_output_base() + name + ft
             if os.path.exists(location):
                 os.remove(location)
-            with open(location, "a") as f:
-                f.write("# {0}\n".format(" ".join(
-                    f"{k}:{v}" for k, v in values.items())))
-                reorder_columns(db, COLUMN_ORDERS["mapping_info"]).to_csv(
-                    f, index=False, sep="\t")
+            write_mapping_info(
+                reorder_columns(db, COLUMN_ORDERS["mapping_info"]),
+                location, values)
         return db if return_table else None
 
     elif name == "comparisonsTable":
@@ -216,7 +214,11 @@ def generate(isdir: ProfileDir, name: str, store: bool = True,
     elif name == "pooled_SNV_info":
         db = isdir.get("PMdb")
         if db is not None:
-            db = db.reset_index()
+            # PMdb's (unnamed) index IS the position; a plain
+            # reset_index() would emit a column literally named 'index'
+            # (reference: SNVprofile.py:373-375 assigns it explicitly)
+            db["position"] = db.index
+            db = db.reset_index(drop=True)
             db = reorder_columns(db, COLUMN_ORDERS["pooled_SNV_info"])
 
     elif name == "pooled_SNV_data":

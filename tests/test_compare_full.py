@@ -74,7 +74,13 @@ def test_compare_with_pooling_and_stb(tmp_path, two_profiles, sars_bam,
     pm = rc.get("PMdb")
     assert pm is not None and len(pm) > 0
     assert (pm["depth"] >= pm[["A", "C", "T", "G"]].max(axis=1)).all()
-    assert os.path.exists(rc.get_output_base() + "pooled_SNV_info.tsv")
+    info = pd.read_csv(rc.get_output_base() + "pooled_SNV_info.tsv",
+                       sep="\t")
+    # the position column comes from PMdb's index and must be NAMED
+    # (reference: SNVprofile.py:373-375; a bare reset_index once
+    # shipped a column literally called 'index')
+    assert "position" in info.columns and "index" not in info.columns
+    assert len(info) == len(pm)
     assert os.path.exists(rc.get_output_base() + "pooled_SNV_data.tsv")
 
     # pairwise SNP locations
