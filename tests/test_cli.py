@@ -191,3 +191,51 @@ def test_cli_surface_matches_reference():
                 continue
             assert odef[name][dest] == dv, (name, dest, dv,
                                             odef[name][dest])
+
+
+def test_quick_profile_coverage_matches_naive(tmp_path):
+    """The vectorized event gather (contiguous slice AND ragged-ranges
+    branches) must equal a naive per-record accumulation — the ragged
+    branch triggers when a non-primary record sits between primaries."""
+    import numpy as np
+    from instrain_tpu.io.bgzf import (bam_header, bam_record, nm_tag,
+                                      write_bgzf)
+    from instrain_tpu.profile.quick_profile import quick_profile
+
+    L = 300
+    seq = "ACGT" * 15  # 60 bp
+    qual = bytes([40]) * 60
+    cigar = [(60, "M")]
+    parts = [bam_header([("s0", L), ("s1", L)])]
+    # s0: primaries interleaved with a SUPPLEMENTARY record (flag 0x800)
+    parts.append(bam_record("a", 0, 0, 0, 42, cigar, -1, -1, 0, seq,
+                            qual, nm_tag(0)))
+    parts.append(bam_record("b", 0x800, 0, 50, 42, cigar, -1, -1, 0,
+                            seq, qual, nm_tag(0)))
+    parts.append(bam_record("c", 0, 0, 100, 42, cigar, -1, -1, 0, seq,
+                            qual, nm_tag(0)))
+    # s1: contiguous primaries only
+    parts.append(bam_record("d", 0, 1, 10, 42, cigar, -1, -1, 0, seq,
+                            qual, nm_tag(0)))
+    parts.append(bam_record("e", 0, 1, 40, 42, cigar, -1, -1, 0, seq,
+                            qual, nm_tag(0)))
+    bam_path = str(tmp_path / "qp.bam")
+    write_bgzf(bam_path, b"".join(parts))
+    fasta = str(tmp_path / "qp.fa")
+    with open(fasta, "w") as f:
+        f.write(">s0\n" + "A" * L + "\n>s1\n" + "A" * L + "\n")
+
+    out = str(tmp_path / "qpo")
+    quick_profile(bam_path, fasta, output=out)
+    import pandas as pd
+    cdb = pd.read_csv(os.path.join(out, "coverm_raw.tsv"), sep="\t")
+    row0 = cdb[cdb["Contig"] == "s0"].iloc[0]
+    row1 = cdb[cdb["Contig"] == "s1"].iloc[0]
+    # s0: two 60bp primaries (supplementary excluded) -> 120 covered
+    assert row0["Read Count"] == 2
+    assert row0["Covered Bases"] == 120
+    assert abs(row0["Mean"] - 120 / L) < 1e-12
+    # s1: overlap 40..69 double-covered -> 90 covered bases, mean 120/L
+    assert row1["Read Count"] == 2
+    assert row1["Covered Bases"] == 90
+    assert abs(row1["Mean"] - 120 / L) < 1e-12
