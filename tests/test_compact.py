@@ -683,3 +683,50 @@ def test_int16_pileup_overflow_falls_back_to_int32(tmp_path,
     a = cs.agg
     assert int(a["cov_median"][0]) == 0  # mostly uncovered scaffold
     assert int(a["nonzeros"][0]) == 60
+
+
+def test_batch_mixed_dtype_bucket_separation(ref_null_model):
+    """int16 and int32 pileups sharing a padded (Mp, Lp) shape must run
+    in separate chunks (the chunk bucket includes the wire dtype: a
+    dense int32 scaffold inside a sparse-sized chunk once blew the
+    launch byte bound ~50x) and both produce per-scaffold-exact
+    results."""
+    import numpy as np
+    from instrain_tpu.profile import compact as C
+    from instrain_tpu.profile.pileup import ScaffoldPileup, make_luts
+    from instrain_tpu.config import VariantConfig
+
+    rng = np.random.default_rng(5)
+    L = 2000
+    luts = make_luts(VariantConfig(null_model=ref_null_model))
+    pileups, refs = [], []
+    for i in range(6):
+        counts = rng.integers(0, 12, (3, 4, L)).astype(
+            np.int16 if i % 2 == 0 else np.int32)
+        counts[rng.random(counts.shape) < 0.6] = 0
+        pileups.append(ScaffoldPileup(name=f"mx{i}", rid=i, length=L,
+                                      mm_values=np.arange(3),
+                                      counts=counts))
+        refs.append(rng.integers(0, 4, L).astype(np.uint8))
+    # same padded bucket shape for all six
+    assert len({C._bucket_of(pu)[:2] for pu in pileups}) == 1
+    assert len({C._bucket_of(pu) for pu in pileups}) == 2
+
+    batch = C.run_site_stats_compact_batch(pileups, refs, *luts)
+    if any(b is None for b in batch):
+        # speculative-capacity overflow raised the bucket high-water
+        # marks; the second pass succeeds (production retries likewise)
+        batch = C.run_site_stats_compact_batch(pileups, refs, *luts)
+    assert all(b is not None for b in batch)
+    for pu, rc, got in zip(pileups, refs, batch):
+        solo = C.run_site_stats_compact(pu, rc, *luts)
+        # capacity-independent comparison: the two paths size their
+        # compaction buffers differently
+        pd.testing.assert_frame_equal(
+            C.snp_table_compact(solo, rc).reset_index(drop=True),
+            C.snp_table_compact(got, rc).reset_index(drop=True),
+            check_dtype=False, obj=pu.name)
+        pd.testing.assert_frame_equal(
+            C.coverage_table_compact(solo).reset_index(drop=True),
+            C.coverage_table_compact(got).reset_index(drop=True),
+            check_dtype=False, obj=pu.name)
