@@ -730,3 +730,47 @@ def test_batch_mixed_dtype_bucket_separation(ref_null_model):
             C.coverage_table_compact(solo).reset_index(drop=True),
             C.coverage_table_compact(got).reset_index(drop=True),
             check_dtype=False, obj=pu.name)
+
+
+@pytest.mark.parametrize("seed", [11, 29, 47])
+def test_fuzz_dense_vs_compact_random_pileups(seed, ref_null_model):
+    """Randomized-input equivalence sweep: arbitrary sparse count
+    tensors through the dense reference path and the compact device
+    path must produce identical SNP and coverage tables (varied M, L,
+    density, and coverage depth per seed)."""
+    import numpy as np
+    from instrain_tpu.profile import compact as C, tables
+    from instrain_tpu.profile.pileup import (ScaffoldPileup, make_luts,
+                                             run_site_stats)
+    from instrain_tpu.config import VariantConfig
+
+    rng = np.random.default_rng(seed)
+    M = int(rng.integers(1, 6))
+    L = int(rng.integers(500, 6000))
+    depth = int(rng.integers(3, 60))
+    counts = rng.integers(0, depth, (M, 4, L)).astype(np.int32)
+    counts[rng.random((M, 4, L)) < float(rng.uniform(0.4, 0.9))] = 0
+    refs = rng.integers(0, 5, L).astype(np.uint8)  # incl. non-ACTG
+    pu = ScaffoldPileup(name=f"fz{seed}", rid=seed, length=L,
+                        mm_values=np.arange(M), counts=counts)
+    luts = make_luts(VariantConfig(null_model=ref_null_model))
+
+    dense = run_site_stats(pu, refs, *luts)
+    comp = C.run_site_stats_compact(pu, refs, *luts)
+
+    pd.testing.assert_frame_equal(
+        tables.snp_table(dense, refs).reset_index(drop=True),
+        C.snp_table_compact(comp, refs).reset_index(drop=True),
+        check_dtype=False)
+    a = tables.coverage_table(dense)
+    b = C.coverage_table_compact(comp)
+    assert len(a) == len(b)
+    for col in a.columns:
+        if col == "scaffold":
+            continue
+        va = a[col].values.astype(float)
+        vb = b[col].values.astype(float)
+        mask = ~(np.isnan(va) & np.isnan(vb))
+        tol = 1e-6 if col.startswith("nucl_diversity") else 1e-9
+        assert np.allclose(va[mask], vb[mask], rtol=tol, atol=tol), \
+            (col, seed)
