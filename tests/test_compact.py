@@ -774,3 +774,39 @@ def test_fuzz_dense_vs_compact_random_pileups(seed, ref_null_model):
         tol = 1e-6 if col.startswith("nucl_diversity") else 1e-9
         assert np.allclose(va[mask], vb[mask], rtol=tol, atol=tol), \
             (col, seed)
+
+
+def test_batch_engine_skip_mm_matches_dense(tmp_path, ref_null_model):
+    """--skip_mm_profiling through the batch engine (collapsed int32
+    pileups ride the dense-chunk path) must match the dense engine."""
+    import os
+    from instrain_tpu.config import ProfileConfig
+    from instrain_tpu.profile.pipeline import profile
+
+    D = "/root/reference/test/test_data/"
+    bam = D + "N5_271_010G1_scaffold_failureScaffold.sorted.bam"
+    fasta = D + "N5_271_010G1_scaffold_failureScaffold.fa"
+    if not os.path.exists(bam):
+        pytest.skip("test data missing")
+
+    outs = {}
+    for engine in ("dense", "batch"):
+        cfg = ProfileConfig(output=str(tmp_path / f"sm_{engine}"),
+                            skip_plot_generation=True,
+                            skip_genome_wide=True,
+                            skip_mm_profiling=True)
+        cfg.engine = engine
+        cfg.variant.null_model = ref_null_model
+        outs[engine] = profile(bam, fasta, cfg)
+
+    for tbl in ("cumulative_snv_table", "cumulative_scaffold_table"):
+        a = outs["dense"].get(tbl).reset_index(drop=True)
+        b = outs["batch"].get(tbl).reset_index(drop=True)
+        assert len(a) == len(b) and len(a) > 0, tbl
+        pd.testing.assert_frame_equal(
+            a.sort_values(list(a.columns[:3])).reset_index(drop=True),
+            b.sort_values(list(b.columns[:3])).reset_index(drop=True),
+            check_dtype=False, check_exact=False, rtol=1e-4)
+    # the collapsed tables carry a single mm level
+    assert set(outs["batch"].get("cumulative_scaffold_table")["mm"]) \
+        == {0}
